@@ -1,0 +1,103 @@
+"""Checkpoint save/load with reference-checkpoint interop.
+
+Native format: a pickle holding numpy pytrees (params + BN state + metadata) —
+loadable with no framework dependencies. The loader also accepts a PyTorch
+``state_dict`` pickle produced by the reference implementation
+(/root/reference/monoloco/train/trainer.py:240-242 saves `model.state_dict()`),
+converting torch (out, in) Linear layout into our (in, out) layout and
+re-stacking the per-stage blocks along the scan axis. This allows published
+reference checkpoints to be served by the TPU inference path directly.
+"""
+
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+FORMAT_TAG = 'monoloco_tpu-v1'
+
+
+def save_checkpoint(path, params, bn_state, meta=None):
+    blob = {
+        'format': FORMAT_TAG,
+        'params': jax.tree_util.tree_map(np.asarray, params),
+        'bn_state': jax.tree_util.tree_map(np.asarray, bn_state),
+        'meta': meta or {},
+    }
+    with open(path, 'wb') as f:
+        pickle.dump(blob, f)
+
+
+def load_checkpoint(path, arch='loco'):
+    """Load a native or reference (torch state_dict) checkpoint.
+
+    Returns (params, bn_state, meta) as jnp pytrees.
+    """
+    try:
+        with open(path, 'rb') as f:
+            blob = pickle.load(f)
+        if isinstance(blob, dict) and blob.get('format') == FORMAT_TAG:
+            to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+            return to_jnp(blob['params']), to_jnp(blob['bn_state']), blob.get('meta', {})
+    except (pickle.UnpicklingError, ModuleNotFoundError, AttributeError, EOFError):
+        pass
+
+    # Fall back to a torch state_dict pickle.
+    import torch  # local import: torch is only needed for reference checkpoints
+    state = torch.load(path, map_location='cpu')
+    if hasattr(state, 'state_dict'):
+        state = state.state_dict()
+    np_state = {k: v.detach().cpu().numpy() for k, v in state.items()
+                if 'num_batches_tracked' not in k}
+    params, bn_state = convert_torch_state_dict(np_state, arch=arch)
+    return params, bn_state, {'source': 'torch'}
+
+
+def _linear(sd, prefix):
+    return {'w': jnp.asarray(sd[prefix + '.weight'].T), 'b': jnp.asarray(sd[prefix + '.bias'])}
+
+
+def _bn(sd, prefix):
+    return (
+        {'scale': jnp.asarray(sd[prefix + '.weight']), 'bias': jnp.asarray(sd[prefix + '.bias'])},
+        {'mean': jnp.asarray(sd[prefix + '.running_mean']), 'var': jnp.asarray(sd[prefix + '.running_var'])},
+    )
+
+
+def _stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def convert_torch_state_dict(sd, arch='loco'):
+    """Convert a reference state_dict (numpy values) into (params, bn_state)."""
+    num_stage = len({k.split('.')[1] for k in sd if k.startswith('linear_stages.')})
+    stage_p, stage_s = [], []
+    for i in range(num_stage):
+        pre = f'linear_stages.{i}'
+        b1p, b1s = _bn(sd, f'{pre}.batch_norm1')
+        b2p, b2s = _bn(sd, f'{pre}.batch_norm2')
+        stage_p.append({'w1': _linear(sd, f'{pre}.w1'), 'bn1': b1p,
+                        'w2': _linear(sd, f'{pre}.w2'), 'bn2': b2p})
+        stage_s.append({'bn1': b1s, 'bn2': b2s})
+
+    bn1p, bn1s = _bn(sd, 'batch_norm1')
+    if arch == 'loco':
+        bn3p, bn3s = _bn(sd, 'batch_norm3')
+        params = {
+            'w1': _linear(sd, 'w1'), 'bn1': bn1p,
+            'w2': _linear(sd, 'w2'), 'w3': _linear(sd, 'w3'), 'bn3': bn3p,
+            'w_aux': _linear(sd, 'w_aux'), 'w_fin': _linear(sd, 'w_fin'),
+            'stages': _stack(stage_p),
+        }
+        bn_state = {'bn1': bn1s, 'bn3': bn3s, 'stages': _stack(stage_s)}
+    elif arch == 'monoloco':
+        params = {
+            'w1': _linear(sd, 'w1'), 'bn1': bn1p,
+            'w2': _linear(sd, 'w2'),
+            'stages': _stack(stage_p),
+        }
+        bn_state = {'bn1': bn1s, 'stages': _stack(stage_s)}
+    else:
+        raise ValueError(arch)
+    return params, bn_state

@@ -1,0 +1,320 @@
+"""Inference engine: the TPU-native counterpart of the reference `Loco` class
+(/root/reference/monoloco/network/net.py:23-271).
+
+Serving architecture (one device program per image):
+ - Detection counts are padded to power-of-two buckets; for each (net, bucket)
+   the WHOLE pipeline — K^-1 keypoint normalization, BN-folded residual MLP,
+   stereo all-vs-all pairing + aux-argmax filtering, physical decode — is one
+   jitted XLA program, compiled once and cached. A single device round trip
+   returns the fully-decoded outputs.
+ - Everything after (ground-truth matching, output dict assembly, activity
+   rules) is host-side numpy on a handful of detections: no eager device ops
+   in the per-image loop.
+ - MC-dropout epistemic uncertainty (reference net.py:135-161: n_dropout
+   re-forwards with dropout re-enabled at eval, 100 Laplace samples per pass,
+   std over all samples) is a single `vmap` over dropout RNG keys.
+"""
+
+import math
+from collections import defaultdict
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import get_iou_matches, reorder_matches
+from ..geometry.host import (
+    np_get_keypoints, np_pixel_to_camera, np_xyz_from_distance,
+)
+from ..models import (
+    loco_forward, monoloco_forward, fold_eval_params, folded_forward,
+    load_checkpoint,
+)
+from .preprocess import preprocess_monoloco, preprocess_monstereo
+from .decode import (
+    extract_outputs, extract_outputs_mono, unnormalize_bi, laplace_sampling,
+)
+from ..activity import social_interactions, is_raising_hand
+
+N_SAMPLES = 100
+LINEAR_SIZE_MONO = 256
+
+
+def _bucket(n, minimum=4):
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_rows(arr, size):
+    m = arr.shape[0]
+    if m == size:
+        return np.asarray(arr, np.float32)
+    out = np.zeros((size,) + arr.shape[1:], np.float32)
+    out[:m] = arr
+    return out
+
+
+class Loco:
+    """Load a localization net and run preprocess -> forward -> postprocess."""
+
+    NET_SIZES = {
+        'monstereo': dict(input=68, output=10),
+        'monoloco_pp': dict(input=34, output=9),
+        'monoloco_p': dict(input=34, output=9),
+        'monoloco': dict(input=34, output=2),
+    }
+
+    def __init__(self, model, mode='mono', net=None, device=None, n_dropout=0,
+                 p_dropout=0.2, linear_size=1024, n_stage=3):
+        assert mode in ('mono', 'stereo'), "mode not recognized"
+        self.mode = mode
+        if net is None:
+            self.net = 'monoloco_pp' if mode == 'mono' else 'monstereo'
+        else:
+            assert net in ('monstereo', 'monoloco', 'monoloco_p', 'monoloco_pp')
+            self.net = net
+        self.arch = 'monoloco' if self.net in ('monoloco', 'monoloco_p') else 'loco'
+        if self.net == 'monoloco_p':
+            linear_size = LINEAR_SIZE_MONO
+        self.linear_size = linear_size
+        self.n_dropout = n_dropout
+        self.p_dropout = p_dropout
+        self.epistemic = n_dropout > 0
+
+        if isinstance(model, str):
+            self.params, self.bn_state, _ = load_checkpoint(model, arch=self.arch)
+        elif isinstance(model, tuple):
+            self.params, self.bn_state = model
+        else:
+            raise TypeError("model must be a checkpoint path or a (params, bn_state) tuple")
+        self.folded = fold_eval_params(self.params, self.bn_state, arch=self.arch)
+        self._infer_cache = {}
+
+    # ------------------------------------------------------------------
+    # Jitted end-to-end device programs (cached per bucket)
+    # ------------------------------------------------------------------
+
+    def _mono_program(self):
+        net = self.net
+        arch = self.arch
+
+        def program(folded, kps, kk):
+            if net == 'monoloco':
+                inputs = preprocess_monoloco(kps, kk, zero_center=True)
+                raw = folded_forward(folded, inputs, arch=arch)
+                return {'d': raw[:, 0:1], 'bi': unnormalize_bi(raw)}
+            inputs = preprocess_monoloco(kps, kk)
+            raw = folded_forward(folded, inputs, arch=arch)
+            if net == 'monoloco_p':
+                return extract_outputs_mono(raw)
+            return extract_outputs(raw)
+
+        return jax.jit(program)
+
+    def _stereo_program(self):
+        def program(folded, kps_l, kps_r, r_mask, kk):
+            inputs, _ = preprocess_monstereo(kps_l, kps_r, kk)
+            raw = folded_forward(folded, inputs, arch='loco')
+            m, r = kps_l.shape[0], kps_r.shape[0]
+            out3 = raw.reshape(m, r, raw.shape[1])
+            # Padded right columns cannot win the aux argmax.
+            aux = jnp.where(r_mask[None, :], out3[:, :, -1], -jnp.inf)
+            best = jnp.argmax(aux, axis=1)
+            selected = jnp.take_along_axis(out3, best[:, None, None], axis=1)[:, 0, :]
+            return extract_outputs(selected)
+
+        return jax.jit(program)
+
+    def _get_program(self, kind):
+        if kind not in self._infer_cache:
+            if kind == 'stereo':
+                self._infer_cache[kind] = self._stereo_program()
+            elif kind == 'mono':
+                self._infer_cache[kind] = self._mono_program()
+            elif kind == 'mc':
+                self._infer_cache[kind] = self._mc_program()
+        return self._infer_cache[kind]
+
+    def _mc_program(self):
+        fwd = loco_forward if self.arch == 'loco' else monoloco_forward
+        arch = self.arch
+        p_dropout = self.p_dropout
+        net = self.net
+
+        @jax.jit
+        def mc(params, bn_state, kps, kk, rngs):
+            if net == 'monoloco':
+                x = preprocess_monoloco(kps, kk, zero_center=True)
+            else:
+                x = preprocess_monoloco(kps, kk)
+
+            def one_pass(rng):
+                out, _ = fwd(params, bn_state, x, train=False, rng=rng,
+                             p_dropout=p_dropout, mc_dropout=True)
+                db = out[:, 0:2] if arch == 'monoloco' else out[:, 2:4]
+                bi = unnormalize_bi(db)
+                mu_b = jnp.concatenate([db[:, 0:1], bi], axis=1)
+                return laplace_sampling(mu_b, N_SAMPLES)
+
+            samples = jax.vmap(one_pass)(rngs)              # (n_dropout, S, b)
+            flat = samples.reshape(-1, x.shape[0])
+            return jnp.std(flat, axis=0, ddof=1)
+
+        return mc
+
+    # ------------------------------------------------------------------
+    # Public forward (mirrors reference net.py:83-133)
+    # ------------------------------------------------------------------
+
+    def forward(self, keypoints, kk, keypoints_r=None):
+        if keypoints is None or len(keypoints) == 0:
+            return None
+        kps = np.asarray(keypoints, np.float32)
+        kk_arr = jnp.asarray(np.asarray(kk, np.float32))
+        m = kps.shape[0]
+
+        if self.net == 'monstereo':
+            if keypoints_r is None or len(keypoints_r) == 0:
+                kps_r = kps[0:1].copy()
+            else:
+                kps_r = np.asarray(keypoints_r, np.float32)
+            r = kps_r.shape[0]
+            bm, br = _bucket(m), _bucket(r)
+            r_mask = np.zeros((br,), bool)
+            r_mask[:r] = True
+            dic = self._get_program('stereo')(
+                self.folded, jnp.asarray(_pad_rows(kps, bm)),
+                jnp.asarray(_pad_rows(kps_r, br)), jnp.asarray(r_mask), kk_arr)
+        else:
+            bm = _bucket(m)
+            dic = self._get_program('mono')(
+                self.folded, jnp.asarray(_pad_rows(kps, bm)), kk_arr)
+
+        dic = jax.device_get(dic)
+        dic_out = {}
+        for k, v in dic.items():
+            if k == 'yaw':
+                dic_out['yaw'] = (np.asarray(v[0])[:m], np.asarray(v[1])[:m])
+            else:
+                dic_out[k] = np.asarray(v)[:m]
+
+        if self.n_dropout > 0 and self.net != 'monstereo':
+            bm = _bucket(m)
+            rngs = jax.random.split(jax.random.PRNGKey(0), self.n_dropout)
+            epi = self._get_program('mc')(
+                self.params, self.bn_state, jnp.asarray(_pad_rows(kps, bm)),
+                kk_arr, rngs)
+            dic_out['epi'] = np.asarray(jax.device_get(epi))[:m]
+        else:
+            dic_out['epi'] = [0.] * m
+        return dic_out
+
+    # ------------------------------------------------------------------
+    # Host-side post-processing (numpy; mirrors reference net.py:163-248)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def post_process(dic_in, boxes, keypoints, kk, dic_gt=None, iou_min=0.3,
+                     reorder=True, verbose=False):
+        """Assemble the final per-image output dict (matching the reference's
+        key set and confidence formula conf = 0.035*box_conf/(bi/distance),
+        net.py:215)."""
+        dic_out = defaultdict(list)
+        if dic_in is None:
+            return dic_out
+
+        if dic_gt:
+            boxes_gt = dic_gt['boxes']
+            dds_gt = [el[3] for el in dic_gt['ys']]
+            matches = get_iou_matches(boxes, boxes_gt, iou_min=iou_min)
+            dic_out['gt'] = [True]
+            if verbose:
+                print(f"found {len(matches)} matches with ground-truth")
+            idxs_matches = [el[0] for el in matches]
+            not_matches = [idx for idx, _ in enumerate(boxes) if idx not in idxs_matches]
+        else:
+            matches = []
+            not_matches = list(range(len(boxes)))
+            if verbose:
+                print("NO ground-truth associated")
+
+        if reorder and matches:
+            matches = reorder_matches(matches, boxes, mode='left_right')
+
+        all_idxs = [idx for idx, _ in matches] + not_matches
+        dic_out['gt'] = [True] * len(matches) + [False] * len(not_matches)
+
+        kps_np = np.asarray(keypoints, np.float32)
+        uv_shoulders = np_get_keypoints(kps_np, 'shoulder')
+        uv_heads = np_get_keypoints(kps_np, 'head')
+        uv_centers = np_get_keypoints(kps_np, 'center')
+        xy_centers = np_pixel_to_camera(uv_centers, kk, 1)
+
+        has_yaw = 'yaw' in dic_in
+        if has_yaw:
+            yaw_pred = np.asarray(dic_in['yaw'][0])
+            yaw_orig = np.asarray(dic_in['yaw'][1])
+        has_aux = 'aux' in dic_in
+
+        for idx in all_idxs:
+            kps = keypoints[idx]
+            box = boxes[idx]
+            dd_pred = float(np.asarray(dic_in['d'][idx]))
+            bi = float(np.asarray(dic_in['bi'][idx]))
+            var_y = float(np.asarray(dic_in['epi'][idx]))
+            uu_s, vv_s = uv_shoulders[idx][0:2]
+            uu_c, vv_c = uv_centers[idx][0:2]
+            uu_h, vv_h = uv_heads[idx][0:2]
+            xyz_pred = np_xyz_from_distance(dd_pred, xy_centers[idx])[0]
+            distance = math.sqrt(float(xyz_pred[0]) ** 2 + float(xyz_pred[1]) ** 2
+                                 + float(xyz_pred[2]) ** 2)
+            conf = 0.035 * (box[-1]) / (bi / distance)
+
+            dic_out['boxes'].append(box)
+            dic_out['confs'].append(conf)
+            dic_out['dds_pred'].append(dd_pred)
+            dic_out['stds_ale'].append(bi)
+            dic_out['stds_epi'].append(var_y)
+            dic_out['xyz_pred'].append([float(x) for x in xyz_pred])
+            dic_out['uv_kps'].append(kps)
+            dic_out['uv_centers'].append([round(float(uu_c)), round(float(vv_c))])
+            dic_out['uv_shoulders'].append([round(float(uu_s)), round(float(vv_s))])
+            dic_out['uv_heads'].append([round(float(uu_h)), round(float(vv_h))])
+
+            if has_yaw:
+                dic_out['angles'].append(float(yaw_pred[idx]))
+                dic_out['angles_egocentric'].append(float(yaw_orig[idx]))
+                if has_aux:
+                    dic_out['aux'].append(float(np.asarray(dic_in['aux'][idx])))
+
+        for idx, idx_gt in matches:
+            dd_real = dds_gt[idx_gt]
+            xyz_real = np_xyz_from_distance(dd_real, xy_centers[idx])
+            dic_out['dds_real'].append(dd_real)
+            dic_out['boxes_gt'].append(boxes_gt[idx_gt])
+            dic_out['xyz_real'].append([float(x) for x in xyz_real.squeeze()])
+        return dic_out
+
+    @staticmethod
+    def social_distance(dic_out, args):
+        """Flag social-distancing violations per person (net.py:250-265)."""
+        angles = dic_out['angles']
+        dds = dic_out['dds_pred']
+        stds = dic_out['stds_ale']
+        xz_centers = [[xx[0], xx[2]] for xx in dic_out['xyz_pred']]
+        dic_out['social_distance'] = [
+            bool(social_interactions(idx, xz_centers, angles, dds, stds=stds,
+                                     threshold_prob=args.threshold_prob,
+                                     threshold_dist=args.threshold_dist,
+                                     radii=args.radii))
+            for idx, _ in enumerate(dic_out['xyz_pred'])
+        ]
+        return dic_out
+
+    @staticmethod
+    def raising_hand(dic_out, keypoints):
+        dic_out['raising_hand'] = [is_raising_hand(kp) for kp in keypoints]
+        return dic_out

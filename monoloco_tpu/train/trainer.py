@@ -1,0 +1,394 @@
+"""Training loop: whole-epoch jitted scan over an HBM-resident dataset.
+
+Behavioral parity targets (/root/reference/monoloco/train/trainer.py):
+ - tasks ('d','x','y','h','w','l','ori','aux'), aux dropped for mono
+   (trainer.py:40-42, 89-91)
+ - Adam over model + loss params, lr decayed by `sched_gamma` every
+   `sched_step` *batches* (the reference steps StepLR per batch,
+   trainer.py:150-161)
+ - grad-norm clip 3.0 on the model parameters only (trainer.py:159)
+ - best weights kept by validation 'd' loss (trainer.py:173-177)
+ - evaluate(): per-cluster stats, bi mean and coverage %, model pickle save
+   (trainer.py:199-284)
+
+TPU-first design:
+ - The dataset lives in device memory; one epoch = one jitted
+   `lax.scan` over shuffled batches (shuffle via jax.random.permutation inside
+   the jit). There are zero host->device transfers in the steady state, versus
+   the reference's per-batch `.to(device)` copy.
+ - Partial final batches are handled with row masks (masked BatchNorm
+   statistics + masked loss reductions), keeping every step the same static
+   shape: exactly one compile per run.
+ - Multi-chip data parallelism: batches shard over the 'data' axis of a
+   jax.sharding.Mesh (see monoloco_tpu/parallel). On a single chip the sharding
+   is a no-op.
+"""
+
+import copy
+import datetime
+import logging
+import math
+import os
+import time
+from collections import defaultdict
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import __version__
+from .datasets import KeypointsDataset
+from .losses import multitask_loss, composite_losses, LOSS_TASKS_MONO, LOSS_TASKS_STEREO
+from ..models import init_loco_params, loco_forward, save_checkpoint, count_params
+from ..network.decode import extract_outputs, extract_labels
+from ..parallel import constrain_batch
+from ..utils import set_logger
+
+
+class Trainer:
+    VAL_BS = 10000
+    val_task = 'd'
+    clusters = ['10', '20', '30', '40']
+    input_size = dict(mono=34, stereo=68)
+    output_size = dict(mono=9, stereo=10)
+    dir_figures = os.path.join('figures', 'losses')
+
+    def __init__(self, args):
+        assert os.path.exists(args.joints), "Input file not found"
+        self.mode = args.mode
+        self.joints = args.joints
+        self.num_epochs = args.epochs
+        self.no_save = args.no_save
+        self.print_loss = getattr(args, 'print_loss', False)
+        self.lr = args.lr
+        self.bs = args.bs
+        self.sched_step = args.sched_step
+        self.sched_gamma = args.sched_gamma
+        self.hidden_size = args.hidden_size
+        self.n_stage = args.n_stage
+        self.dropout = args.dropout
+        self.r_seed = args.r_seed
+        self.auto_tune_mtl = getattr(args, 'auto_tune_mtl', False)
+
+        if args.out:
+            self.path_out = args.out
+            dir_out, _ = os.path.split(self.path_out)
+        else:
+            dir_out = os.path.join('data', 'outputs')
+            name = 'monoloco_pp' if self.mode == 'mono' else 'monstereo'
+            now_time = datetime.datetime.now().strftime("%Y%m%d-%H%M")[2:]
+            self.path_out = os.path.join(dir_out, name + '-' + now_time + '.pkl')
+        assert os.path.exists(dir_out) or not dir_out, "Directory to save the model not found"
+        print(self.path_out)
+
+        self.tasks = LOSS_TASKS_MONO if self.mode == 'mono' else LOSS_TASKS_STEREO
+        self.lambdas = tuple(1.0 for _ in self.tasks)
+
+        # Data: fully device-resident.
+        self.datasets = {ph: KeypointsDataset(self.joints, phase=ph) for ph in ('train', 'val')}
+        self.dataset_sizes = {ph: len(ds) for ph, ds in self.datasets.items()}
+        self.dataset_version = self.datasets['train'].get_version()
+        x_tr, y_tr = self.datasets['train'].arrays()
+        x_va, y_va = self.datasets['val'].arrays()
+        self.x_tr, self.y_tr = jnp.asarray(x_tr), jnp.asarray(y_tr)
+        self.x_va, self.y_va = jnp.asarray(x_va), jnp.asarray(y_va)
+
+        self._set_logger(args)
+        self.logger.info('Sizes of the dataset: {}'.format(self.dataset_sizes))
+        print(">>> creating model")
+
+        key = jax.random.PRNGKey(self.r_seed)
+        self.init_key, self.train_key = jax.random.split(key)
+        self.params, self.bn_state = init_loco_params(
+            self.init_key, self.input_size[self.mode], self.output_size[self.mode],
+            linear_size=self.hidden_size, num_stage=self.n_stage)
+        self.log_sigmas = (jnp.zeros((len(self.tasks),), jnp.float32)
+                          if self.auto_tune_mtl else None)
+        print(">>> model params: {:.3f}M".format(count_params(self.params) / 1e6))
+
+        # Optimizer: Adam with per-batch staircase lr decay (StepLR parity).
+        self.schedule = optax.exponential_decay(
+            init_value=self.lr, transition_steps=max(int(self.sched_step), 1),
+            decay_rate=self.sched_gamma, staircase=True)
+        self.optimizer = optax.adam(learning_rate=self.schedule, eps=1e-8)
+        self.opt_state = self.optimizer.init(self._trainable(self.params, self.log_sigmas))
+
+        # Optional multi-chip mesh: batch dim sharded over 'data', params
+        # replicated; XLA inserts the gradient all-reduce.
+        self.mesh = getattr(args, 'mesh', None)
+
+        self.n_train = self.x_tr.shape[0]
+        self.steps_per_epoch = math.ceil(self.n_train / self.bs)
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _trainable(params, log_sigmas):
+        return {'model': params, 'log_sigmas': log_sigmas} if log_sigmas is not None \
+            else {'model': params}
+
+    def _build_steps(self):
+        tasks, lambdas = self.tasks, self.lambdas
+        bs, n = self.bs, self.n_train
+        nb = self.steps_per_epoch
+        p_drop = self.dropout
+        optimizer = self.optimizer
+        auto = self.auto_tune_mtl
+
+        mesh = self.mesh
+
+        def batch_loss(trainable, bn_state, x, y, mask, rng):
+            x = constrain_batch(x, mesh)
+            y = constrain_batch(y, mesh)
+            mask = constrain_batch(mask, mesh)
+            out, new_bn = loco_forward(trainable['model'], bn_state, x, train=True,
+                                       rng=rng, p_dropout=p_drop, row_mask=mask)
+            total, _ = multitask_loss(out, y, tasks, lambdas, phase='train', mask=mask,
+                                      log_sigmas=trainable.get('log_sigmas'))
+            return total, (new_bn, out)
+
+        grad_fn = jax.value_and_grad(batch_loss, has_aux=True)
+
+        def train_epoch(params, log_sigmas, bn_state, opt_state, epoch_rng, x_all, y_all):
+            perm = jax.random.permutation(epoch_rng, n)
+            pad = nb * bs - n
+            perm_padded = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+            masks = jnp.concatenate([jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
+            batches = perm_padded.reshape(nb, bs)
+            batch_masks = masks.reshape(nb, bs)
+            rngs = jax.random.split(jax.random.fold_in(epoch_rng, 1), nb)
+
+            def step(carry, xs):
+                trainable, bn_state, opt_state = carry
+                idx, mask, rng = xs
+                x, y = x_all[idx], y_all[idx]
+                (loss, (new_bn, out)), grads = grad_fn(trainable, bn_state, x, y, mask, rng)
+                # Clip the *model* gradient global norm to 3 (loss params unclipped).
+                g_model = grads['model']
+                gnorm = optax.global_norm(g_model)
+                scale = jnp.minimum(1.0, 3.0 / (gnorm + 1e-6))
+                grads = dict(grads, model=jax.tree_util.tree_map(lambda g: g * scale, g_model))
+                updates, opt_state = optimizer.update(grads, opt_state, trainable)
+                trainable = optax.apply_updates(trainable, updates)
+                # Validation-flavor losses on the just-computed outputs (logging parity
+                # with reference trainer.py:165-167).
+                val_total, val_vals = multitask_loss(
+                    out, y, tasks, lambdas, phase='val', mask=mask,
+                    log_sigmas=trainable.get('log_sigmas'))
+                cnt = mask.sum()
+                logs = jnp.stack([val_total * cnt] + [v * cnt for v in val_vals[:len(tasks)]])
+                return (trainable, new_bn, opt_state), logs
+
+            trainable = self._trainable(params, log_sigmas)
+            (trainable, bn_state, opt_state), logs = jax.lax.scan(
+                step, (trainable, bn_state, opt_state), (batches, batch_masks, rngs))
+            return (trainable['model'], trainable.get('log_sigmas'), bn_state, opt_state,
+                    logs.sum(axis=0))
+
+        def val_metrics(params, log_sigmas, bn_state, x, y):
+            out, _ = loco_forward(params, bn_state, x, train=False)
+            total, vals = multitask_loss(out, y, tasks, lambdas, phase='val',
+                                         log_sigmas=log_sigmas)
+            return jnp.stack([total] + list(vals[:len(tasks)]))
+
+        self._train_epoch = jax.jit(train_epoch, donate_argnums=(3,))
+        self._val_metrics = jax.jit(val_metrics)
+
+    # ------------------------------------------------------------------
+
+    def train(self):
+        since = time.time()
+        best_acc = 1e6
+        best_training_acc = 1e6
+        best_epoch = 0
+        best_params, best_bn = self.params, self.bn_state
+        epoch_losses = defaultdict(lambda: defaultdict(list))
+        n_tr = float(self.dataset_sizes['train'])
+
+        for epoch in range(self.num_epochs):
+            epoch_rng = jax.random.fold_in(self.train_key, epoch)
+            (self.params, self.log_sigmas, self.bn_state, self.opt_state,
+             train_logs) = self._train_epoch(
+                self.params, self.log_sigmas, self.bn_state, self.opt_state,
+                epoch_rng, self.x_tr, self.y_tr)
+            val_logs = self._val_metrics(self.params, self.log_sigmas, self.bn_state,
+                                         self.x_va, self.y_va)
+
+            train_logs = np.asarray(train_logs) / n_tr
+            val_logs = np.asarray(val_logs)
+            names = ['all'] + list(self.tasks)
+            for i, name in enumerate(names):
+                epoch_losses['train'][name].append(float(train_logs[i]))
+                epoch_losses['val'][name].append(float(val_logs[i]))
+
+            if epoch % 10 == 0:
+                self._cout_epoch(epoch, epoch_losses)
+
+            if epoch_losses['val'][self.val_task][-1] < best_acc:
+                best_acc = epoch_losses['val'][self.val_task][-1]
+                best_training_acc = epoch_losses['train']['all'][-1]
+                best_epoch = epoch
+                best_params = jax.tree_util.tree_map(jnp.copy, self.params)
+                best_bn = jax.tree_util.tree_map(jnp.copy, self.bn_state)
+
+        time_elapsed = time.time() - since
+        print('\n\n' + '-' * 120)
+        self.logger.info('Training:\nTraining complete in {:.0f}m {:.0f}s'
+                         .format(time_elapsed // 60, time_elapsed % 60))
+        self.logger.info('Best training Accuracy: {:.3f}'.format(best_training_acc))
+        self.logger.info('Best validation Accuracy for {}: {:.3f}'.format(self.val_task, best_acc))
+        self.logger.info('Saved weights of the model at epoch: {}'.format(best_epoch))
+
+        if self.print_loss:
+            self._print_losses(epoch_losses)
+
+        self.params, self.bn_state = best_params, best_bn
+        return best_epoch
+
+    def _cout_epoch(self, epoch, epoch_losses):
+        parts = [f'{epoch:.0f} ']
+        for phase in ('train', 'val'):
+            parts.append(phase[0].upper() + ':')
+            for el in ['all'] + list(self.tasks):
+                loss = epoch_losses[phase][el][-1]
+                if el == 'all':
+                    parts.append(f':{loss:.1f}  ')
+                elif el in ('ori', 'aux'):
+                    parts.append(f'{el}:{loss:.1f}  ')
+                else:
+                    parts.append(f'{el}:{loss * 100:.0f}  ')
+        print('\r' + ''.join(parts))
+
+    # ------------------------------------------------------------------
+
+    def evaluate(self, load=False, model=None, debug=False):
+        if load:
+            from ..models import load_checkpoint
+            self.params, self.bn_state, _ = load_checkpoint(model, arch='loco')
+
+        dic_err = defaultdict(lambda: defaultdict(lambda: defaultdict(lambda: 0)))
+        dic_err['val']['sigmas'] = [0.] * len(self.tasks)
+        dataset = self.datasets['val']
+        size_eval = len(dataset)
+
+        # Whole-set eval in VAL_BS chunks (reference trainer.py:212-228).
+        start = 0
+        for end in range(self.VAL_BS, size_eval + self.VAL_BS, self.VAL_BS):
+            end = min(end, size_eval)
+            x = self.x_va[start:end]
+            y = self.y_va[start:end]
+            start = end
+            out, _ = loco_forward(self.params, self.bn_state, x, train=False)
+            self._compute_stats(out, y, dic_err['val'], size_eval, clst='all')
+
+        self._cout_stats(dic_err['val'], size_eval, clst='all')
+        for clst in self.clusters:
+            inputs, outputs_gt, count = dataset.get_cluster_annotations(clst)
+            if count == 0:
+                continue
+            out, _ = loco_forward(self.params, self.bn_state, jnp.asarray(inputs), train=False)
+            self._compute_stats(out, jnp.asarray(outputs_gt), dic_err['val'], count, clst=clst)
+            self._cout_stats(dic_err['val'], count, clst=clst)
+
+        if not (self.no_save or load):
+            self.path_model = self.path_out
+            save_checkpoint(self.path_model, self.params, self.bn_state,
+                            meta={'mode': self.mode, 'tasks': self.tasks,
+                                  'hidden_size': self.hidden_size, 'n_stage': self.n_stage,
+                                  'version': __version__})
+            print('-' * 120)
+            self.logger.info("\nmodel saved: {} \n".format(self.path_model))
+        else:
+            self.logger.info("\nmodel not saved\n")
+        return dic_err, (self.params, self.bn_state)
+
+    def _compute_stats(self, outputs, labels, dic_err, size_eval, clst):
+        loss_values = composite_losses(outputs, labels, self.tasks, phase='val')
+        rel_frac = outputs.shape[0] / size_eval
+        tasks_no_aux = [t for t in self.tasks if t != 'aux']
+        for idx, task in enumerate(self.tasks):
+            if task == 'aux':
+                continue
+            dic_err[clst][task] += float(loss_values[idx]) * rel_frac
+
+        d_pred = extract_outputs(outputs)['d']
+        d_gt = extract_labels(labels)['d']
+        errs = jnp.abs(d_pred - d_gt)
+        bis = extract_outputs(outputs)['bi']
+        bi = float(jnp.mean(bis))
+        bi_perc = float(jnp.sum(errs <= bis)) / errs.shape[0]
+        dic_err[clst]['bi'] += bi * rel_frac
+        dic_err[clst]['bi%'] += bi_perc * rel_frac
+        dic_err[clst]['std'] = float(jnp.std(errs, ddof=1)) if errs.shape[0] > 1 else 0.0
+
+        if self.mode == 'mono':
+            dic_err[clst]['aux'] = 0
+        else:
+            aux_prob = extract_outputs(outputs)['aux']
+            aux_gt = extract_labels(labels)['aux']
+            acc_aux = 1.0 - float(jnp.mean(jnp.abs((aux_prob >= 0.5).astype(jnp.float32) - aux_gt)))
+            dic_err[clst]['aux'] += acc_aux * rel_frac
+        _ = tasks_no_aux
+
+    def _cout_stats(self, dic_err, size_eval, clst):
+        if clst == 'all':
+            print('-' * 120)
+            self.logger.info(
+                "Evaluation, val set: \nAv. dist D: {:.2f} m with bi {:.2f} ({:.1f}%), \n"
+                "X: {:.1f} cm,  Y: {:.1f} cm \nOri: {:.1f}  "
+                "\n H: {:.1f} cm, W: {:.1f} cm, L: {:.1f} cm"
+                "\nAuxiliary Task: {:.1f} %, ".format(
+                    dic_err[clst]['d'], dic_err[clst]['bi'], dic_err[clst]['bi%'] * 100,
+                    dic_err[clst]['x'] * 100, dic_err[clst]['y'] * 100,
+                    dic_err[clst]['ori'], dic_err[clst]['h'] * 100,
+                    dic_err[clst]['w'] * 100, dic_err[clst]['l'] * 100,
+                    dic_err[clst]['aux'] * 100))
+        else:
+            self.logger.info(
+                "Val err clust {} --> D:{:.2f}m,  bi:{:.2f} ({:.1f}%), STD:{:.1f}m   "
+                "X:{:.1f} Y:{:.1f}  Ori:{:.1f}d,   H: {:.0f} W: {:.0f} L:{:.0f}  for {} pp. ".format(
+                    clst, dic_err[clst]['d'], dic_err[clst]['bi'], dic_err[clst]['bi%'] * 100,
+                    dic_err[clst]['std'], dic_err[clst]['x'] * 100, dic_err[clst]['y'] * 100,
+                    dic_err[clst]['ori'], dic_err[clst]['h'] * 100,
+                    dic_err[clst]['w'] * 100, dic_err[clst]['l'] * 100, size_eval))
+
+    def _print_losses(self, epoch_losses):
+        try:
+            import matplotlib.pyplot as plt
+        except ImportError:
+            raise Exception('please install matplotlib')
+        os.makedirs(self.dir_figures, exist_ok=True)
+        for idx, phase in enumerate(epoch_losses):
+            for idx_2, el in enumerate(epoch_losses['train']):
+                plt.figure(idx + idx_2)
+                plt.title(phase + '_' + el)
+                plt.xlabel('epochs')
+                plt.plot(epoch_losses[phase][el][10:], label=f'{phase} Loss: {el}')
+                plt.savefig(os.path.join(self.dir_figures, f'{phase}_loss_{el}.png'))
+                plt.close()
+
+    def _set_logger(self, args):
+        if self.no_save:
+            logging.basicConfig(level=logging.INFO)
+            self.logger = logging.getLogger(__name__)
+        else:
+            self.path_model = self.path_out
+            print(self.path_model)
+            self.logger = set_logger(os.path.splitext(self.path_out)[0])
+            self.logger.info(
+                f'\nVERSION: {__version__}\n'
+                f'\nINPUT_FILE: {args.joints}'
+                f'\nInput file version: {self.dataset_version}\n'
+                f'\nTraining arguments:'
+                f'\nmode: {self.mode} \nlearning rate: {args.lr} \nbatch_size: {args.bs}'
+                f'\nepochs: {args.epochs} \ndropout: {args.dropout} '
+                f'\nscheduler step: {args.sched_step} \nscheduler gamma: {args.sched_gamma} '
+                f'\ninput_size: {self.input_size[self.mode]} '
+                f'\noutput_size: {self.output_size[self.mode]} '
+                f'\nhidden_size: {args.hidden_size}'
+                f' \nn_stages: {args.n_stage} \n r_seed: {args.r_seed} '
+                f'\nlambdas: {self.lambdas}'
+            )
