@@ -132,3 +132,57 @@ def is_raising_hand(kp):
     if is_right_risen:
         return 'right'
     return None
+
+
+def show_activities(args, image, output_path, annotations, dic_out):
+    """Render front and/or bird views highlighting detected activities
+    (reference activity.py:168-204)."""
+    from contextlib import contextmanager
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from .visuals.pifpaf_show import KeypointPainter, image_canvas, get_pifpaf_outputs
+    from .visuals.printer import draw_orientation, draw_uncertainty, social_distance_colors
+
+    assert 'front' in args.output_types or 'bird' in args.output_types, \
+        "outputs allowed: front and/or bird"
+
+    colors = ['deepskyblue' for _ in dic_out['uv_heads']]
+    if 'social_distance' in args.activities:
+        colors = social_distance_colors(colors, dic_out)
+
+    angles = dic_out['angles']
+    stds = dic_out['stds_ale']
+    xz_centers = [[xx[0], xx[2]] for xx in dic_out['xyz_pred']]
+
+    if 'front' in args.output_types:
+        keypoint_sets, _ = get_pifpaf_outputs(annotations)
+        uv_centers = dic_out['uv_heads']
+        sizes = [abs(dic_out['uv_heads'][idx][1] - uv_s[1]) / 1.5
+                 for idx, uv_s in enumerate(dic_out['uv_shoulders'])]
+        painter = KeypointPainter(show_box=False)
+        with image_canvas(image, output_path + '.front.png',
+                          show=getattr(args, 'show', False), fig_width=10) as ax:
+            painter.keypoints(ax, keypoint_sets, activities=args.activities,
+                              dic_out=dic_out, size=image.size, colors=colors)
+            draw_orientation(ax, uv_centers, sizes, angles, colors, mode='front')
+
+    if 'bird' in args.output_types:
+        z_max = min(args.z_max, 4 + max([el[1] for el in xz_centers], default=0))
+
+        @contextmanager
+        def bird_canvas():
+            fig, ax = plt.subplots(1, 1)
+            fig.set_tight_layout(True)
+            x_max = z_max / 1.5
+            ax.plot([0, x_max], [0, z_max], 'k--')
+            ax.plot([0, -x_max], [0, z_max], 'k--')
+            ax.set_ylim(0, z_max + 1)
+            yield ax
+            fig.savefig(output_path + '.bird.png')
+            plt.close(fig)
+            print('Bird-eye-view image saved')
+
+        with bird_canvas() as ax1:
+            draw_orientation(ax1, xz_centers, [], angles, colors, mode='bird')
+            draw_uncertainty(ax1, xz_centers, stds)

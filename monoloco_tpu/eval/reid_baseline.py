@@ -1,0 +1,171 @@
+"""Person re-identification feature extractor (ResNet-50) for the stereo
+association baseline — TPU-native JAX implementation.
+
+Capability parity target: /root/reference/monoloco/eval/reid_baseline.py
+(ResNet50 trunk, Market-1501 weights, 256x128 crops, 2048-d eval features).
+Design differences: the network is a functional JAX pytree executed as ONE
+jitted NHWC program on the accelerator; inference-mode BatchNorm is folded into
+the convolutions at load time, and torch/torchvision checkpoints (the
+reference's weight format) convert via `convert_torch_resnet50`.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from ..geometry.camera import open_image
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+BLOCKS = (3, 4, 6, 3)
+EXPANSION = 4
+
+
+def _conv(x, w, stride=1, padding='SAME'):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
+def _bottleneck(params, x, stride):
+    out = jax.nn.relu(_conv(x, params['conv1']['w'], 1) + params['conv1']['b'])
+    out = jax.nn.relu(_conv(out, params['conv2']['w'], stride) + params['conv2']['b'])
+    out = _conv(out, params['conv3']['w'], 1) + params['conv3']['b']
+    if 'down' in params:
+        x = _conv(x, params['down']['w'], stride) + params['down']['b']
+    return jax.nn.relu(out + x)
+
+
+def resnet50_features(params, x):
+    """NHWC float input -> (n, 2048) pooled features. BN pre-folded into convs."""
+    x = jax.nn.relu(_conv(x, params['conv1']['w'], 2) + params['conv1']['b'])
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                              (1, 2, 2, 1), 'SAME')
+    for li, n_blocks in enumerate(BLOCKS):
+        for bi in range(n_blocks):
+            stride = 2 if (bi == 0 and li > 0) else 1
+            x = _bottleneck(params[f'layer{li + 1}'][bi], x, stride)
+    return x.mean(axis=(1, 2))
+
+
+def _fold_conv_bn(conv_w, bn):
+    """Fold eval BN into a conv: returns (w_folded HWIO, bias)."""
+    scale = bn['weight'] / np.sqrt(bn['running_var'] + 1e-5)
+    w = np.transpose(conv_w, (2, 3, 1, 0)) * scale[None, None, None, :]
+    b = bn['bias'] - bn['running_mean'] * scale
+    return {'w': jnp.asarray(w, jnp.float32), 'b': jnp.asarray(b, jnp.float32)}
+
+
+def convert_torch_resnet50(state_dict):
+    """torchvision-style resnet50 state_dict (numpy values; optionally with a
+    'base.' prefix as in the reference's Market-1501 checkpoint) -> folded
+    params pytree."""
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.replace('base.', '')
+        sd[k] = np.asarray(v)
+
+    def bn(prefix):
+        return {s: sd[f'{prefix}.{s}'] for s in
+                ('weight', 'bias', 'running_mean', 'running_var')}
+
+    # The reference checkpoint indexes children of nn.Sequential(resnet.children()):
+    # 0=conv1, 1=bn1, 4..7=layer1..4 — support both namings.
+    def get(name, alt):
+        return name if any(k.startswith(name) for k in sd) else alt
+
+    conv1_key = get('conv1', '0')
+    bn1_key = get('bn1', '1')
+    params = {'conv1': _fold_conv_bn(sd[f'{conv1_key}.weight'], bn(bn1_key))}
+    layer_keys = {f'layer{i}': get(f'layer{i}', str(3 + i)) for i in range(1, 5)}
+    for li, n_blocks in enumerate(BLOCKS):
+        lname = f'layer{li + 1}'
+        lkey = layer_keys[lname]
+        blocks = []
+        for bi in range(n_blocks):
+            pre = f'{lkey}.{bi}'
+            blk = {
+                'conv1': _fold_conv_bn(sd[f'{pre}.conv1.weight'], bn(f'{pre}.bn1')),
+                'conv2': _fold_conv_bn(sd[f'{pre}.conv2.weight'], bn(f'{pre}.bn2')),
+                'conv3': _fold_conv_bn(sd[f'{pre}.conv3.weight'], bn(f'{pre}.bn3')),
+            }
+            if f'{pre}.downsample.0.weight' in sd:
+                blk['down'] = _fold_conv_bn(sd[f'{pre}.downsample.0.weight'],
+                                            bn(f'{pre}.downsample.1'))
+            blocks.append(blk)
+        params[lname] = blocks
+    return params
+
+
+def init_resnet50(key):
+    """Random init (for tests / when no pretrained weights are available)."""
+    params = {}
+    k = iter(jax.random.split(key, 64))
+
+    def conv(cin, cout, ksize):
+        w = jax.random.normal(next(k), (ksize, ksize, cin, cout)) * np.sqrt(2.0 / (ksize * ksize * cin))
+        return {'w': w.astype(jnp.float32), 'b': jnp.zeros((cout,), jnp.float32)}
+
+    params['conv1'] = conv(3, 64, 7)
+    cin = 64
+    for li, n_blocks in enumerate(BLOCKS):
+        width = 64 * (2 ** li)
+        blocks = []
+        for bi in range(n_blocks):
+            blk = {'conv1': conv(cin, width, 1), 'conv2': conv(width, width, 3),
+                   'conv3': conv(width, width * EXPANSION, 1)}
+            if bi == 0:
+                blk['down'] = conv(cin, width * EXPANSION, 1)
+            blocks.append(blk)
+            cin = width * EXPANSION
+        params[f'layer{li + 1}'] = blocks
+    return params
+
+
+class ReID:
+    """Crop-and-embed person images with a jitted ResNet-50."""
+
+    def __init__(self, weights_path=None, device=None, num_classes=751,
+                 height=256, width=128):
+        self.height, self.width = height, width
+        if weights_path:
+            import torch
+            checkpoint = torch.load(weights_path, map_location='cpu')
+            if hasattr(checkpoint, 'state_dict'):
+                checkpoint = checkpoint.state_dict()
+            sd = {k: v.numpy() for k, v in checkpoint.items()
+                  if hasattr(v, 'numpy')}
+            self.params = convert_torch_resnet50(sd)
+            print(f"Loaded pretrained ReID weights from '{weights_path}'")
+        else:
+            self.params = init_resnet50(jax.random.PRNGKey(1))
+            print("ReID: using randomly initialized weights (no checkpoint given)")
+        self._forward = jax.jit(resnet50_features)
+
+    def _preprocess(self, images):
+        batch = []
+        for im in images:
+            im = im.resize((self.width, self.height), Image.BILINEAR)
+            arr = np.asarray(im, np.float32) / 255.0
+            arr = (arr - _IMAGENET_MEAN) / _IMAGENET_STD
+            batch.append(arr)
+        return jnp.asarray(np.stack(batch))
+
+    def forward(self, images):
+        x = self._preprocess(images)
+        return np.asarray(self._forward(self.params, x))
+
+
+def get_reid_features(reid_net, boxes, boxes_r, path_image, path_image_r):
+    """Crop detections from both images and embed them
+    (reference reid_baseline.py:13-27)."""
+    pil_image = open_image(path_image)
+    pil_image_r = open_image(path_image_r)
+    assert boxes and boxes_r
+    crops = [pil_image.crop((b[0], b[1], b[2], b[3])) for b in boxes]
+    crops_r = [pil_image_r.crop((b[0], b[1], b[2], b[3])) for b in boxes_r]
+    return reid_net.forward(crops), reid_net.forward(crops_r)

@@ -1,6 +1,7 @@
 from .camera import (
     pixel_to_camera,
     project_points,
+    project_3d,
     get_keypoints,
     xyz_from_distance,
     correct_angle,

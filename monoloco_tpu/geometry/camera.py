@@ -55,6 +55,24 @@ def project_points(xyz, kk):
     return uvw[..., 0:2] / uvw[..., 2:3]
 
 
+def project_3d(box_obj, kk):
+    """Project a 3D box (nuScenes Box object) into an image-plane 2D box using
+    the two central corners at the center depth (reference camera.py:40-66).
+    Host-side numpy."""
+    import numpy as np
+    xc, yc, zc = box_obj.center
+    ww, _, hh = box_obj.wlh
+    corners = np.array([[xc - ww / 2, yc - hh / 2, zc],
+                        [xc + ww / 2, yc + hh / 2, zc]])
+    kk = np.asarray(kk, dtype=np.float64)
+    box_2d = []
+    for xyz in corners:
+        uvw = kk @ xyz
+        box_2d.append(float(uvw[0] / uvw[2]))
+        box_2d.append(float(uvw[1] / uvw[2]))
+    return box_2d
+
+
 def get_keypoints(keypoints, mode):
     """Reduce COCO-17 keypoints (m, 3, 17) to a single 2D point per person (m, 2).
 

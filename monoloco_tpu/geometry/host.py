@@ -59,6 +59,20 @@ def np_xyz_from_distance(distances, xy_centers):
     return c * d / denom
 
 
+def np_preprocess_monoloco(keypoints, kk, zero_center=False):
+    """Host (numpy) twin of network.preprocess.preprocess_monoloco:
+    keypoints (m, 3, 17) -> (m, 34) K^-1-normalized inputs at z=10."""
+    kps = np.asarray(keypoints, dtype=np.float32)
+    if kps.ndim == 2:
+        kps = kps[None]
+    xy1_all = np_pixel_to_camera(kps[:, 0:2, :], kk, 10)   # (m, 17, 3)
+    if zero_center:
+        uv_center = np_get_keypoints(kps, 'center')
+        xy1_center = np_pixel_to_camera(uv_center, kk, 10)
+        xy1_all = xy1_all - xy1_center[:, None, :]
+    return xy1_all[:, :, 0:2].reshape(xy1_all.shape[0], -1).astype(np.float32)
+
+
 def np_laplace_sampling(outputs, n_samples, seed=1):
     """Deterministic Laplace sampler: (m, 2) [mu, b] -> (n_samples, m).
 

@@ -1,0 +1,219 @@
+"""Prediction pipeline: images (+ 2D poses) -> 3D localization outputs.
+
+Mirrors the reference's predict contract (/root/reference/monoloco/predict.py:
+159-288): per image, obtain COCO-17 poses, build the calibration matrix,
+run the localization net, post-process (optionally against ground truth),
+and emit `out_<name>.monoloco.json` and/or front/bird/multi figures.
+
+Keypoint sources, in priority order:
+ 1. Precomputed pifpaf JSON next to the image (`<image>.pifpaf.json` /
+    `<image>.predictions.json`) or in `--json_dir` — first-class here, since
+    the pose backbone is an external CNN.
+ 2. OpenPifPaf, if installed (optional dependency, CPU/GPU torch) — the
+    reference's default path (predict.py:174-198).
+
+Checkpoint resolution (reference predict.py:55-96 downloads from Google
+Drive): a local `--model` path is required in this zero-egress build; the
+Google-Drive auto-download is attempted only if `gdown` is available.
+"""
+
+import glob
+import json
+import logging
+import os
+import time
+from collections import defaultdict
+
+import numpy as np
+from PIL import Image
+
+from .network import Loco, factory_for_gt, load_calibration, preprocess_pifpaf
+from .visuals.printer import Printer
+from .activity import show_activities
+
+LOG = logging.getLogger(__name__)
+
+
+def find_pifpaf_json(image_path, json_dir=None):
+    """Locate a precomputed pifpaf predictions file for an image."""
+    base = os.path.basename(image_path)
+    stem = os.path.splitext(base)[0]
+    candidates = []
+    if json_dir:
+        candidates += [
+            os.path.join(json_dir, base + '.pifpaf.json'),
+            os.path.join(json_dir, base + '.predictions.json'),
+            os.path.join(json_dir, stem + '.pifpaf.json'),
+            os.path.join(json_dir, stem + '.json'),
+        ]
+    candidates += [
+        image_path + '.pifpaf.json',
+        image_path + '.predictions.json',
+        os.path.splitext(image_path)[0] + '.pifpaf.json',
+    ]
+    for cand in candidates:
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def _pifpaf_available():
+    try:
+        import openpifpaf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def run_pifpaf(image_paths, checkpoint=None, batch_size=1):
+    """Run OpenPifPaf on images; yields (path, annotations_json) per image."""
+    import openpifpaf
+    predictor = openpifpaf.Predictor(checkpoint=checkpoint)
+    for pred, _, meta in predictor.images(image_paths, batch_size=batch_size):
+        yield meta['file_name'], [ann.json_data() for ann in pred]
+
+
+def load_annotations(image_path, args):
+    path = find_pifpaf_json(image_path, getattr(args, 'json_dir', None))
+    if path is not None:
+        with open(path) as f:
+            return json.load(f)
+    if _pifpaf_available():
+        for _, anns in run_pifpaf([image_path], checkpoint=args.checkpoint):
+            return anns
+    raise FileNotFoundError(
+        f"No pifpaf annotations for {image_path}: provide <image>.pifpaf.json "
+        f"(or --json_dir), or install openpifpaf")
+
+
+def factory_from_args(args):
+    if args.glob:
+        args.images += glob.glob(args.glob)
+    if not args.images:
+        raise Exception("no image files given")
+    if args.path_gt is None:
+        args.show_all = True
+    if not args.output_types and args.mode != 'keypoints':
+        args.output_types = ['multi']
+    if args.mode == 'stereo':
+        args.images = sorted(args.images)
+        assert len(args.images) % 2 == 0, "Odd number of images in a stereo setting"
+        assert 'social_distance' not in (args.activities or []), \
+            "Social distance not supported in stereo modality"
+    if args.mode != 'keypoints':
+        assert any(x in args.output_types for x in ('front', 'bird', 'multi', 'json')), \
+            "No output type specified, please select one among front, bird, multi, json"
+        assert args.model, "--model checkpoint path required (no model download in this build)"
+    return args
+
+
+def predict(args):
+    assert args.mode in ('keypoints', 'mono', 'stereo')
+    args = factory_from_args(args)
+
+    net = None
+    if args.mode in ('mono', 'stereo'):
+        net = Loco(model=args.model, mode=args.mode, net=args.net,
+                   n_dropout=args.n_dropout, p_dropout=args.dropout)
+
+    timing = []
+    cnt = 0
+    step = 2 if args.mode == 'stereo' else 1
+    for i in range(0, len(args.images), step):
+        image_path = args.images[i]
+        annotations = load_annotations(image_path, args)
+        annotations_r = load_annotations(args.images[i + 1], args) if step == 2 else None
+
+        with open(image_path, 'rb') as f:
+            cpu_image = Image.open(f).convert('RGB')
+        im_size = (float(cpu_image.size[0]), float(cpu_image.size[1]))
+        im_name = os.path.basename(image_path)
+
+        if args.output_directory is None:
+            splits = os.path.split(image_path)
+            output_path = os.path.join(splits[0], 'out_' + splits[1])
+        else:
+            output_path = os.path.join(args.output_directory, 'out_' + im_name)
+        print(f'{cnt} image {im_name} saved as {output_path}')
+
+        if args.mode == 'keypoints':
+            dic_out = defaultdict(list)
+            kk = None
+            boxes, keypoints = preprocess_pifpaf(annotations, im_size)
+        else:
+            if args.path_gt is not None:
+                dic_gt, kk = factory_for_gt(args.path_gt, im_name)
+            else:
+                kk = load_calibration(args.calibration, im_size,
+                                      focal_length=args.focal_length)
+                dic_gt = None
+            boxes, keypoints = preprocess_pifpaf(annotations, im_size, enlarge_boxes=False)
+
+            start = time.time()
+            if args.mode == 'mono':
+                LOG.info("Prediction with MonoLoco++")
+                dic_out = net.forward(keypoints, kk)
+            else:
+                LOG.info("Prediction with MonStereo")
+                _, keypoints_r = preprocess_pifpaf(annotations_r, im_size)
+                dic_out = net.forward(keypoints, kk, keypoints_r=keypoints_r)
+            fwd_time = (time.time() - start) * 1000
+            timing.append(fwd_time)
+            print(f"Forward time: {fwd_time:.0f} ms")
+
+            dic_out = net.post_process(dic_out, boxes, keypoints, kk, dic_gt)
+            if 'social_distance' in (args.activities or []):
+                dic_out = net.social_distance(dic_out, args)
+            if 'raise_hand' in (args.activities or []):
+                dic_out = net.raising_hand(dic_out, keypoints)
+
+        factory_outputs(args, cpu_image, annotations, dic_out, output_path, kk=kk)
+        print(f'Image {cnt}\n' + '-' * 120)
+        cnt += 1
+
+    if timing:
+        timing_arr = np.array(timing)
+        print(f'Processed {cnt} images with an average time of '
+              f'{int(timing_arr.mean())} ms and a std of {int(timing_arr.std())} ms')
+
+
+def factory_outputs(args, cpu_image, annotations, dic_out, output_path, kk=None):
+    """Write json and/or figure outputs (reference predict.py:262-288)."""
+    if 'json' in args.output_types:
+        with open(output_path + '.monoloco.json', 'w') as ff:
+            json.dump(_jsonable(dic_out), ff)
+        if len(args.output_types) == 1:
+            return
+
+    if args.mode == 'keypoints':
+        from .visuals.pifpaf_show import image_canvas, KeypointPainter, get_pifpaf_outputs
+        kps, _ = get_pifpaf_outputs(annotations)
+        with image_canvas(cpu_image, output_path + '.keypoints.png') as ax:
+            KeypointPainter().keypoints(ax, kps)
+        return
+
+    if any(x in args.output_types for x in ('front', 'bird', 'multi')):
+        LOG.info(output_path)
+        if args.activities:
+            show_activities(args, cpu_image, output_path, annotations, dic_out)
+        else:
+            printer = Printer(cpu_image, output_path, kk, args)
+            figures, axes = printer.factory_axes(dic_out)
+            printer.draw(figures, axes, cpu_image, dic_out, annotations=annotations)
+
+
+def _jsonable(obj):
+    """Recursively convert numpy types for json.dump."""
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.bool_,)):
+        return bool(obj)
+    return obj

@@ -1,0 +1,202 @@
+"""Front / bird-eye / combined ("multi") result rendering.
+
+Fresh implementation of the drawing surface of the reference's
+visuals/printer.py:43-511: annotated front image (boxes + distances),
+bird-eye view (uncertainty bars, orientation arrows, FoV lines), the combined
+multi figure, mono/stereo color coding via the aux score, and social-distance
+coloring.
+"""
+
+import math
+
+import numpy as np
+import matplotlib
+matplotlib.use('Agg')
+import matplotlib.pyplot as plt
+from matplotlib.patches import FancyArrow, Rectangle
+
+from .pifpaf_show import KeypointPainter, get_pifpaf_outputs
+
+
+def social_distance_colors(colors, dic_out):
+    """Red for violators, deepskyblue otherwise (printer.py:508-511)."""
+    flags = dic_out.get('social_distance', [])
+    return ['r' if i < len(flags) and flags[i] else colors[i]
+            for i in range(len(colors))]
+
+
+def draw_orientation(ax, centers, sizes, angles, colors, mode='front'):
+    """Arrows showing body orientation, on the image (front) or ground plane
+    (bird). Matches the semantics of printer.py:454-505."""
+    for idx, theta in enumerate(angles):
+        color = colors[idx] if idx < len(colors) else 'deepskyblue'
+        if mode == 'front':
+            length = sizes[idx] if idx < len(sizes) else 20
+            x, y = centers[idx][0], centers[idx][1]
+            dx = length * math.cos(theta)
+            dy = -length * math.sin(theta)
+            ax.add_patch(FancyArrow(x, y, dx, dy, head_width=max(2, length / 4),
+                                    color=color))
+        else:
+            x, z = centers[idx][0], centers[idx][1]
+            length = 1.0
+            dx = length * math.cos(theta)
+            dz = -length * math.sin(theta)
+            ax.add_patch(FancyArrow(x, z, dx, dz, head_width=0.3, color=color))
+
+
+def draw_uncertainty(ax, centers, stds, color='g'):
+    """Radial aleatoric-uncertainty bars on the bird view."""
+    for idx, std in enumerate(stds):
+        theta = math.atan2(centers[idx][1], centers[idx][0])
+        dx, dz = std * math.cos(theta), std * math.sin(theta)
+        ax.plot((centers[idx][0] - dx, centers[idx][0] + dx),
+                (centers[idx][1] - dz, centers[idx][1] + dz),
+                color=color, linewidth=2.5)
+
+
+class Printer:
+    """Render per-image localization results as front / bird / multi figures."""
+
+    FIG_WIDTH = 10
+
+    def __init__(self, image, output_path, kk, args):
+        self.im = image
+        self.width, self.height = image.size[0], image.size[1]
+        self.output_path = output_path
+        self.kk = kk
+        self.output_types = args.output_types
+        self.z_max = args.z_max
+        self.show = getattr(args, 'show_all', False)
+        self.save = not getattr(args, 'no_save', False)
+        self.hide_distance = getattr(args, 'hide_distance', False)
+        self.activities = getattr(args, 'activities', [])
+
+    # ------------------------------------------------------------------
+
+    def _process(self, dic_ann):
+        self.dds = dic_ann.get('dds_pred', [])
+        self.stds_ale = dic_ann.get('stds_ale', [0.0] * len(self.dds))
+        self.stds_epi = dic_ann.get('stds_epi', [0.0] * len(self.dds))
+        self.angles = dic_ann.get('angles', [0.0] * len(self.dds))
+        self.xyz = dic_ann.get('xyz_pred', [])
+        self.xz_centers = [[p[0], p[2]] for p in self.xyz]
+        self.boxes = dic_ann.get('boxes', [])
+        self.uv_heads = dic_ann.get('uv_heads', [])
+        self.uv_shoulders = dic_ann.get('uv_shoulders', [])
+        self.xyz_real = dic_ann.get('xyz_real', [])
+        auxs = dic_ann.get('aux', [])
+        if auxs:
+            self.modes = ['stereo' if a > 0.3 else 'mono' for a in auxs]
+        else:
+            self.modes = ['mono'] * len(self.dds)
+        if self.z_max > 99 and self.dds:
+            self.z_max = int(min(self.z_max, 4 + max(self.dds)))
+        colors = ['deepskyblue'] * len(self.dds)
+        if 'social_distance' in (self.activities or []):
+            colors = social_distance_colors(colors, dic_ann)
+        self.colors = colors
+
+    # ------------------------------------------------------------------
+
+    def factory_axes(self, dic_out):
+        """Create (figures, axes) for the chosen output types."""
+        self._process(dic_out)
+        figures, axes = [], []
+        if 'multi' in self.output_types:
+            fig = plt.figure(figsize=(self.FIG_WIDTH * 1.8,
+                                      self.FIG_WIDTH * self.height / self.width))
+            ax_front = fig.add_subplot(1, 2, 1)
+            ax_bird = fig.add_subplot(1, 2, 2)
+            self._setup_front(ax_front)
+            self._setup_bird(ax_bird)
+            figures.append(fig)
+            axes.extend([ax_front, ax_bird])
+        else:
+            if 'front' in self.output_types:
+                fig = plt.figure(figsize=(self.FIG_WIDTH,
+                                          self.FIG_WIDTH * self.height / self.width))
+                ax = fig.add_subplot(1, 1, 1)
+                self._setup_front(ax)
+                figures.append(fig)
+                axes.append(ax)
+            if 'bird' in self.output_types:
+                fig = plt.figure(figsize=(self.FIG_WIDTH * 0.8, self.FIG_WIDTH * 0.8))
+                ax = fig.add_subplot(1, 1, 1)
+                self._setup_bird(ax)
+                figures.append(fig)
+                axes.append(ax)
+        return figures, axes
+
+    def _setup_front(self, ax):
+        ax.set_axis_off()
+        ax.set_xlim(0, self.width)
+        ax.set_ylim(self.height, 0)
+        ax.front = True
+
+    def _setup_bird(self, ax):
+        x_max = self.z_max / 1.5
+        ax.plot([0, x_max], [0, self.z_max], 'k--')
+        ax.plot([0, -x_max], [0, self.z_max], 'k--')
+        ax.set_ylim(0, self.z_max + 1)
+        ax.set_xlabel('X [m]')
+        ax.set_ylabel('Z [m]')
+        ax.front = False
+
+    # ------------------------------------------------------------------
+
+    def draw(self, figures, axes, image, dic_out, annotations=None):
+        for ax in axes:
+            if getattr(ax, 'front', False):
+                self._draw_front(ax, image, dic_out, annotations)
+            else:
+                self._draw_bird(ax)
+        if self.save:
+            suffix = ('.multi.png' if 'multi' in self.output_types
+                      else '.front.png' if 'front' in self.output_types
+                      else '.bird.png')
+            for fig in figures:
+                fig.savefig(self.output_path + suffix, bbox_inches='tight')
+                print(f'Image saved: {self.output_path + suffix}')
+                plt.close(fig)
+            # With both front and bird requested separately, save each.
+            if 'front' in self.output_types and 'bird' in self.output_types \
+                    and 'multi' not in self.output_types and len(figures) == 2:
+                figures[0].savefig(self.output_path + '.front.png', bbox_inches='tight')
+                figures[1].savefig(self.output_path + '.bird.png', bbox_inches='tight')
+
+    def _draw_front(self, ax, image, dic_out, annotations):
+        ax.imshow(image)
+        if annotations:
+            kps, _ = get_pifpaf_outputs(annotations)
+            painter = KeypointPainter(show_box=False, linewidth=2)
+            painter.keypoints(ax, kps, activities=self.activities,
+                              dic_out=dic_out, colors=self.colors)
+        for idx, box in enumerate(self.boxes):
+            if idx >= len(self.dds):
+                break
+            mode_color = 'deepskyblue' if self.modes[idx] == 'stereo' else 'red'
+            color = self.colors[idx] if self.colors[idx] == 'r' else mode_color
+            x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
+            ax.add_patch(Rectangle((x0, y0), x1 - x0, y1 - y0, fill=False,
+                                   color=color, linewidth=1.5))
+            if not self.hide_distance:
+                ax.text(x0, max(0, y0 - 4), f'{self.dds[idx]:.1f} m',
+                        color='white', fontsize=8,
+                        bbox=dict(facecolor=color, alpha=0.8, pad=1))
+
+    def _draw_bird(self, ax):
+        for idx, (x, z) in enumerate(self.xz_centers):
+            if z <= 0 or z > self.z_max:
+                continue
+            color = self.colors[idx] if self.colors[idx] == 'r' else (
+                'deepskyblue' if self.modes[idx] == 'stereo' else 'darkorange')
+            ax.plot(x, z, 'o', color=color, markersize=6)
+            ax.text(x + 0.2, z + 0.2, str(idx + 1), fontsize=9, color=color)
+        draw_uncertainty(ax, self.xz_centers, self.stds_ale)
+        if any(abs(a) > 1e-9 for a in self.angles):
+            draw_orientation(ax, self.xz_centers, [], self.angles,
+                             self.colors, mode='bird')
+        for xyz in self.xyz_real:
+            if 0 < xyz[2] <= self.z_max:
+                ax.plot(xyz[0], xyz[2], 'kx', markersize=6)
