@@ -90,6 +90,10 @@ class Loco:
             self.params, self.bn_state = model
         else:
             raise TypeError("model must be a checkpoint path or a (params, bn_state) tuple")
+        # The checkpoint is the source of truth for the architecture size
+        # (constructor hints only matter before weights exist).
+        self.linear_size = linear_size = int(self.params['w1']['w'].shape[1])
+        self.n_stage = int(self.params['stages']['w1']['w'].shape[0])
         self.folded = fold_eval_params(self.params, self.bn_state, arch=self.arch)
         self._infer_cache = {}
 
@@ -255,8 +259,8 @@ class Loco:
 
         has_yaw = 'yaw' in dic_in
         if has_yaw:
-            yaw_pred = np.asarray(dic_in['yaw'][0])
-            yaw_orig = np.asarray(dic_in['yaw'][1])
+            yaw_pred = np.asarray(dic_in['yaw'][0]).reshape(-1)
+            yaw_orig = np.asarray(dic_in['yaw'][1]).reshape(-1)
         has_aux = 'aux' in dic_in
 
         for idx in all_idxs:

@@ -1,0 +1,99 @@
+"""CLI-level integration tests, mirroring the reference test strategy
+(SURVEY.md section 4): exercise `python -m monoloco_tpu.run ...` as a
+subprocess and validate the train -> save -> load -> predict -> file-output
+contract, including output filenames."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+JOINTS_MONO = os.path.join(HERE, 'fixture_joints-kitti-mono.json')
+JOINTS_STEREO = os.path.join(HERE, 'fixture_joints-kitti-stereo.json')
+IMAGE = os.path.join(HERE, 'fixture_002282.png')
+IMAGE_SD = os.path.join(HERE, 'fixture_frame0032.jpg')
+
+
+def run_cli(*args):
+    env = dict(os.environ,
+               PALLAS_AXON_POOL_IPS='',    # skip remote-TPU registration
+               JAX_PLATFORMS='cpu')
+    cmd = [sys.executable, '-m', 'monoloco_tpu.run', *args]
+    res = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True,
+                         timeout=900)
+    assert res.returncode == 0, f"CLI failed:\n{res.stdout}\n{res.stderr}"
+    return res
+
+
+@pytest.fixture(scope='module')
+def trained_model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp('models') / 'mono.pkl')
+    run_cli('train', '--joints', JOINTS_MONO, '--epochs', '3',
+            '--hidden_size', '64', '--bs', '512', '--out', path)
+    assert os.path.exists(path)
+    return path
+
+
+class TestTrainPredictMono:
+    def test_train_saves_checkpoint(self, trained_model):
+        assert os.path.getsize(trained_model) > 1000
+
+    def test_predict_json_and_multi(self, trained_model, tmp_path):
+        out_dir = str(tmp_path)
+        run_cli('predict', IMAGE, '--mode', 'mono', '--model', trained_model,
+                '--calibration', 'kitti',
+                '--output_types', 'json', 'multi', '-o', out_dir)
+        json_path = os.path.join(out_dir, 'out_fixture_002282.png.monoloco.json')
+        png_path = os.path.join(out_dir, 'out_fixture_002282.png.multi.png')
+        assert os.path.exists(json_path)
+        assert os.path.exists(png_path)
+        with open(json_path) as f:
+            dic = json.load(f)
+        for key in ('boxes', 'dds_pred', 'stds_ale', 'xyz_pred', 'angles', 'confs'):
+            assert key in dic
+        assert len(dic['dds_pred']) == len(dic['boxes']) > 0
+
+    def test_predict_social_distance(self, trained_model, tmp_path):
+        out_dir = str(tmp_path)
+        # frame fixture has no pifpaf json of its own: reuse the 002282 one
+        import shutil
+        ann = os.path.join(HERE, 'fixture_002282.pifpaf.json')
+        img = os.path.join(out_dir, 'frame0032.jpg')
+        shutil.copy(IMAGE_SD, img)
+        shutil.copy(ann, os.path.join(out_dir, 'frame0032.pifpaf.json'))
+        run_cli('predict', img, '--mode', 'mono', '--model', trained_model,
+                '--activities', 'social_distance',
+                '--output_types', 'front', 'bird', '-o', out_dir)
+        assert os.path.exists(os.path.join(out_dir, 'out_frame0032.jpg.front.png'))
+        assert os.path.exists(os.path.join(out_dir, 'out_frame0032.jpg.bird.png'))
+
+
+class TestTrainStereo:
+    def test_train_stereo(self, tmp_path):
+        path = str(tmp_path / 'stereo.pkl')
+        run_cli('train', '--joints', JOINTS_STEREO, '--mode', 'stereo',
+                '--epochs', '3', '--hidden_size', '64', '--out', path)
+        assert os.path.exists(path)
+
+    def test_predict_stereo_pair(self, tmp_path):
+        # Train a tiny stereo model, then predict on an L/R pair.
+        path = str(tmp_path / 'stereo.pkl')
+        run_cli('train', '--joints', JOINTS_STEREO, '--mode', 'stereo',
+                '--epochs', '2', '--hidden_size', '64', '--out', path)
+        import shutil
+        out_dir = str(tmp_path)
+        img_l = os.path.join(out_dir, 'pair_000840.png')
+        img_r = os.path.join(out_dir, 'pair_000840_right.png')
+        ann = os.path.join(HERE, 'fixture_002282.pifpaf.json')
+        shutil.copy(os.path.join(HERE, 'fixture_000840.png'), img_l)
+        shutil.copy(os.path.join(HERE, 'fixture_000840_right.png'), img_r)
+        shutil.copy(ann, img_l + '.pifpaf.json')
+        shutil.copy(ann, img_r + '.pifpaf.json')
+        run_cli('predict', img_l, img_r, '--mode', 'stereo', '--model', path,
+                '--calibration', 'kitti',
+                '--output_types', 'multi', '-o', out_dir)
+        assert os.path.exists(os.path.join(out_dir, 'out_pair_000840.png.multi.png'))
