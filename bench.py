@@ -46,29 +46,33 @@ def main():
 
     @jax.jit
     def serve_scan(folded, keypoints, kk):
-        # Chain iterations through the data so they execute sequentially.
+        # Chain iterations through the data so they execute sequentially, and
+        # reduce to a scalar checksum the host fetches (fetching the bytes is
+        # the only sync primitive that cannot lie about completion).
         def body(carry, _):
             kps = keypoints + carry * 1e-9
             xyzd, bi, yaw, h, w, l = serve_once(folded, kps, kk)
             return jnp.float32(xyzd[0, 3]), (xyzd.sum() + bi.sum())
 
         carry, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=SCAN_ITERS)
-        return carry, sums
+        return carry + sums.sum()
 
     rng = np.random.RandomState(0)
     keypoints = jnp.asarray(rng.rand(BATCH, 3, 17) * 300, jnp.float32)
     kk = jnp.asarray([[718.3351, 0., 600.3891], [0., 718.3351, 181.5122], [0., 0., 1.]],
                      jnp.float32)
 
-    # Warm up / compile.
-    jax.block_until_ready(serve_scan(folded, keypoints, kk))
+    # Warm up / compile; fetch the checksum to force real completion.
+    float(serve_scan(folded, keypoints, kk))
 
-    # Each measurement is one fully-blocked device program of SCAN_ITERS batches.
+    # Each measurement fetches the scalar checksum: dispatch + full execution
+    # + result readback of 4 bytes.
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(serve_scan(folded, keypoints, kk))
+        checksum = float(serve_scan(folded, keypoints, kk))
         times.append(time.perf_counter() - t0)
+    assert checksum == checksum, "nan checksum"
 
     dt = statistics.median(times)
     throughput = BATCH * SCAN_ITERS / dt

@@ -1,0 +1,188 @@
+"""Pallas TPU kernel: the entire BN-folded Loco eval MLP in one fused kernel.
+
+One grid step processes one batch tile end-to-end:
+  y  = relu(x @ W0 + b0)                      # 34 -> H input projection
+  3x: h = relu(y @ Wa + ba); h = relu(h @ Wb + bb); y = y + h
+  y2 = y @ W2 + b2;  aux = y2 @ Waux + baux
+  fin = relu(y2 @ W3f + b3f) @ Wfin + bfin
+  out = [fin, aux]                            # (tile, out)
+
+The eight H x H weight matrices stay in HBM (stacked (8, H, H)); the kernel
+streams them through a two-slot VMEM scratch with async DMA double-buffering,
+so each layer's weight transfer overlaps the previous layer's MXU work. The
+input projection and head weights are tiny and live in VMEM for the whole
+kernel. Matmuls run on the MXU with f32 accumulation (weights optionally
+bfloat16). VMEM budget at H=1024, tile=512, bf16 weights:
+2 x 2 MB weight slots + ~3 x 2 MB activations ~= 10 MB < 16 MB.
+
+This replaces the XLA path models/loco.py:folded_forward for serving; the
+surrounding decode stays in XLA (it fuses into the same program).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_folded_weights(folded, dtype=jnp.bfloat16):
+    """Stack the folded Loco parameters for the kernel.
+
+    Returns (w0, b0, w_stack (2S+2, H, H), b_stack (2S+2, H), w_aux, b_aux,
+    w_fin, b_fin). Weight order: [s0a, s0b, s1a, s1b, ..., w2, w3f].
+    """
+    stages_a_w = folded['stages']['a']['w']   # (S, H, H)
+    stages_a_b = folded['stages']['a']['b']
+    stages_b_w = folded['stages']['b']['w']
+    stages_b_b = folded['stages']['b']['b']
+    n_stage = stages_a_w.shape[0]
+    ws, bs = [], []
+    for i in range(n_stage):
+        ws += [stages_a_w[i], stages_b_w[i]]
+        bs += [stages_a_b[i], stages_b_b[i]]
+    ws += [folded['w2']['w'], folded['w3f']['w']]
+    bs += [folded['w2']['b'], folded['w3f']['b']]
+    return (
+        folded['l0']['w'].astype(dtype),
+        folded['l0']['b'].astype(jnp.float32),
+        jnp.stack(ws).astype(dtype),
+        jnp.stack(bs).astype(jnp.float32),
+        folded['w_aux']['w'].astype(dtype),
+        folded['w_aux']['b'].astype(jnp.float32),
+        folded['w_fin']['w'].astype(dtype),
+        folded['w_fin']['b'].astype(jnp.float32),
+    )
+
+
+def _kernel(x_ref, w0_ref, b0_ref, bstack_ref, waux_ref, baux_ref,
+            wfin_ref, bfin_ref, wstack_hbm, out_ref, wbuf, sems, *, n_mm, acc_dtype):
+    """n_mm = 2*num_stage + 2 streamed H x H matmuls."""
+    cdtype = w0_ref.dtype
+
+    def start_load(idx, slot):
+        pltpu.make_async_copy(wstack_hbm.at[idx], wbuf.at[slot], sems.at[slot]).start()
+
+    def wait(idx, slot):
+        pltpu.make_async_copy(wstack_hbm.at[idx], wbuf.at[slot], sems.at[slot]).wait()
+
+    # Prime the pipeline: both slots in flight.
+    start_load(0, 0)
+    if n_mm > 1:
+        start_load(1, 1)
+
+    def mm(act, slot, bias_idx):
+        w = wbuf[slot]
+        out = jax.lax.dot_general(
+            act.astype(cdtype), w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype)
+        return out + bstack_ref[bias_idx][None, :]
+
+    # Input projection (weights resident in VMEM).
+    x = x_ref[:]
+    y = jax.lax.dot_general(
+        x.astype(cdtype), w0_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype)
+    y = jnp.maximum(y + b0_ref[:][None, :], 0.0)
+
+    # Residual stages over the streamed weights.
+    n_stage = (n_mm - 2) // 2
+    idx = 0
+    for _ in range(n_stage):
+        wait(idx, idx % 2)
+        h = jnp.maximum(mm(y, idx % 2, idx), 0.0)
+        if idx + 2 < n_mm:
+            start_load(idx + 2, idx % 2)
+        idx += 1
+        wait(idx, idx % 2)
+        h = jnp.maximum(mm(h, idx % 2, idx), 0.0)
+        if idx + 2 < n_mm:
+            start_load(idx + 2, idx % 2)
+        y = y + h
+        idx += 1
+
+    # Split head: w2 (no activation) -> aux and w3f+relu -> fin.
+    wait(idx, idx % 2)
+    y2 = mm(y, idx % 2, idx)
+    if idx + 2 < n_mm:
+        start_load(idx + 2, idx % 2)
+    idx += 1
+    aux = jax.lax.dot_general(
+        y2.astype(cdtype), waux_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype) + baux_ref[:][None, :]
+    wait(idx, idx % 2)
+    y3 = jnp.maximum(mm(y2, idx % 2, idx), 0.0)
+    fin = jax.lax.dot_general(
+        y3.astype(cdtype), wfin_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dtype) + bfin_ref[:][None, :]
+
+    out_ref[:] = jnp.concatenate([fin, aux], axis=1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('tile', 'interpret'))
+def _fused_call(packed, x, tile, interpret=False):
+    w0, b0, wstack, bstack, waux, baux, wfin, bfin = packed
+    batch, in_dim = x.shape
+    hidden = w0.shape[1]
+    n_mm = wstack.shape[0]
+    out_dim = wfin.shape[1] + 1
+    n_tiles = batch // tile
+    dtype = wstack.dtype
+
+    kernel = functools.partial(_kernel, n_mm=n_mm, acc_dtype=jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, out_dim), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, in_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bstack
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # waux
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # baux
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wfin
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bfin
+            pl.BlockSpec(memory_space=pltpu.ANY),    # wstack stays in HBM
+        ],
+        out_specs=pl.BlockSpec((tile, out_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, hidden, hidden), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * hidden * (in_dim + n_mm * hidden + out_dim),
+            bytes_accessed=n_mm * hidden * hidden * wstack.dtype.itemsize
+                           + batch * (in_dim + out_dim) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w0, b0, bstack, waux, baux, wfin, bfin, wstack)
+
+
+def fused_loco_forward(folded, x, dtype=jnp.bfloat16, tile=512, packed=None,
+                       interpret=False):
+    """Run the fused kernel on (m, in) inputs. Requires hidden % 128 == 0.
+
+    Pads the batch to a tile multiple; returns (m, out) f32. Pass a pre-packed
+    weight tuple (pack_folded_weights) to avoid re-packing per call.
+    """
+    hidden = folded['l0']['w'].shape[1]
+    if hidden % 128 != 0:
+        raise ValueError(f"fused kernel requires hidden % 128 == 0, got {hidden}")
+    if packed is None:
+        packed = pack_folded_weights(folded, dtype=dtype)
+    m = x.shape[0]
+    tile = min(tile, max(8, 1 << (m - 1).bit_length()))
+    padded = -(-m // tile) * tile
+    if padded != m:
+        x = jnp.concatenate([x, jnp.zeros((padded - m, x.shape[1]), x.dtype)])
+    out = _fused_call(packed, x, tile, interpret=interpret)
+    return out[:m]
