@@ -198,11 +198,12 @@ def save_txts(path_txt, all_inputs, all_outputs, all_params, net='monoloco', cat
             if net == 'geometric':
                 zz = zzs_geom[idx]
             cam_0 = [xx, yy, zz]
-            bi = float(np.asarray(bis[idx]))
-            epi = float(np.asarray(epis[idx]))
+            bi = float(np.asarray(bis[idx]).reshape(-1)[0])
+            epi = float(np.asarray(epis[idx]).reshape(-1)[0])
             if net in ('monstereo', 'monoloco_pp'):
-                alpha, ry = float(yaws[0][idx]), float(yaws[1][idx])
-                hwl = [float(hs[idx]), float(ws[idx]), float(ls[idx])]
+                alpha = float(np.asarray(yaws[0]).reshape(-1)[idx])
+                ry = float(np.asarray(yaws[1]).reshape(-1)[idx])
+                hwl = [float(np.asarray(v).reshape(-1)[0]) for v in (hs[idx], ws[idx], ls[idx])]
                 conf_scale = 0.035 if net == 'monoloco_pp' else 0.033
             else:
                 alpha, ry, hwl = -10., -10., [0, 0, 0]

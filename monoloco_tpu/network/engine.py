@@ -322,3 +322,25 @@ class Loco:
     def raising_hand(dic_out, keypoints):
         dic_out['raising_hand'] = [is_raising_hand(kp) for kp in keypoints]
         return dic_out
+
+
+def median_disparity(dic_out, keypoints, keypoints_r, mask):
+    """Ablation: replace the stereo net's depth with the median joint
+    disparity whenever a confident stereo match exists (reference
+    net.py:274-293). dic_out['xyzd'] is updated in place (numpy)."""
+    from ..geometry import mask_joint_disparity
+    keypoints = np.asarray(keypoints)
+    keypoints_r = np.asarray(keypoints_r)
+    mask = np.asarray(mask)
+    avg_disparities, _, _ = mask_joint_disparity(keypoints, keypoints_r)
+    BF = 0.54 * 721
+    xyzd = np.asarray(dic_out['xyzd']).copy()
+    for idx, aux in enumerate(np.asarray(dic_out['aux']).reshape(-1)):
+        if aux > 0.5:
+            idx_r = int(np.argmax(mask[idx]))
+            z = BF / avg_disparities[idx][idx_r]
+            if 1 < z < 80:
+                xyzd[idx][2] = z
+                xyzd[idx][3] = np.linalg.norm(xyzd[idx][0:3])
+    dic_out['xyzd'] = xyzd
+    return dic_out

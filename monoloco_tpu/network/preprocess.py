@@ -149,6 +149,24 @@ def preprocess_pifpaf(annotations, im_size=None, enlarge_boxes=True, min_conf=0.
     return boxes, keypoints
 
 
+def preprocess_mask(dir_ann, basename, mode='left'):
+    """Load Mask-R-CNN-style keypoint annotations from the sibling 'mask'
+    directory (reference process.py:136-152). Returns (boxes, keypoints)."""
+    from ..geometry import open_annotations
+    dir_mask = os.path.join(os.path.split(dir_ann)[0], 'mask')
+    if mode == 'left':
+        path_ann = os.path.join(dir_mask, basename + '.json')
+    else:
+        assert mode == 'right'
+        path_ann = os.path.join(dir_mask + '_right', basename + '.json')
+    dic = open_annotations(path_ann)
+    if isinstance(dic, list):
+        return [], []
+    keypoints = [prepare_pif_kps(np.asarray(kps).reshape(51).tolist())
+                 for kps in dic['keypoints']]
+    return dic['boxes'], keypoints
+
+
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 

@@ -177,3 +177,35 @@ class PreprocessNuscenes:
         print(f"\nSaved {cnt_ann} annotations for {cnt_samples} samples in "
               f"{cnt_scenes} scenes. Total time: {(end - start) / 60:.1f} minutes")
         print(f"\nOutput files:\n{self.path_names}\n{self.path_joints}\n")
+
+
+def extract_social(inputs, ys, keypoints, idx, matches):
+    """Pad one person's inputs with their 2 nearest neighbours' relative ground
+    foot + gt depth (experimental social branch, reference
+    preprocess_nu.py:230-265). Returns a 38-dim list."""
+    all_inputs = []
+    ground_foot = np.max(np.array(inputs)[:, [31, 33]], axis=1)
+    rel_ground_foot = (ground_foot - ground_foot[idx]).tolist()
+
+    base = np.array([np.mean(np.array(keypoints[idx][0])),
+                     np.mean(np.array(keypoints[idx][1]))])
+    delta_input = [np.linalg.norm(base - np.array([np.mean(np.array(kp[0])),
+                                                   np.mean(np.array(kp[1]))]))
+                   for kp in keypoints]
+    sorted_indices = sorted(range(len(delta_input)), key=lambda k: delta_input[k])
+    all_inputs.extend(inputs[idx])
+
+    indices_idx = [i for (i, _) in matches]
+    for ii in range(1, 3):
+        try:
+            index = sorted_indices[ii]
+            try:
+                idx_gt = matches[indices_idx.index(index)][1]
+                all_inputs.append(rel_ground_foot[index])
+                all_inputs.append(float(ys[idx_gt][3]))
+            except ValueError:
+                all_inputs.extend([0.] * 2)
+        except IndexError:
+            all_inputs.extend([0.] * 2)
+    assert len(all_inputs) == 34 + 2 * 2
+    return all_inputs
