@@ -266,9 +266,9 @@ class Loco:
         for idx in all_idxs:
             kps = keypoints[idx]
             box = boxes[idx]
-            dd_pred = float(np.asarray(dic_in['d'][idx]))
-            bi = float(np.asarray(dic_in['bi'][idx]))
-            var_y = float(np.asarray(dic_in['epi'][idx]))
+            dd_pred = float(np.asarray(dic_in['d'][idx]).reshape(-1)[0])
+            bi = float(np.asarray(dic_in['bi'][idx]).reshape(-1)[0])
+            var_y = float(np.asarray(dic_in['epi'][idx]).reshape(-1)[0])
             uu_s, vv_s = uv_shoulders[idx][0:2]
             uu_c, vv_c = uv_centers[idx][0:2]
             uu_h, vv_h = uv_heads[idx][0:2]
@@ -292,7 +292,7 @@ class Loco:
                 dic_out['angles'].append(float(yaw_pred[idx]))
                 dic_out['angles_egocentric'].append(float(yaw_orig[idx]))
                 if has_aux:
-                    dic_out['aux'].append(float(np.asarray(dic_in['aux'][idx])))
+                    dic_out['aux'].append(float(np.asarray(dic_in['aux'][idx]).reshape(-1)[0]))
 
         for idx, idx_gt in matches:
             dd_real = dds_gt[idx_gt]

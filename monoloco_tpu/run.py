@@ -113,6 +113,8 @@ def cli():
                                  action='store_true')
     training_parser.add_argument('--dp_devices', type=int, default=1,
                                  help='shard the batch over N devices (data parallelism)')
+    training_parser.add_argument('--resume', help='checkpoint to resume training from')
+    training_parser.add_argument('--profile', help='directory for jax profiler traces')
 
     # Evaluation
     eval_parser.add_argument('--mode', help='mono, stereo', default='mono')

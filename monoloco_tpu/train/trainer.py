@@ -71,6 +71,8 @@ class Trainer:
         self.dropout = args.dropout
         self.r_seed = args.r_seed
         self.auto_tune_mtl = getattr(args, 'auto_tune_mtl', False)
+        self.profile = getattr(args, 'profile', None)
+        self.resume = getattr(args, 'resume', None)
 
         if args.out:
             self.path_out = args.out
@@ -114,6 +116,22 @@ class Trainer:
             decay_rate=self.sched_gamma, staircase=True)
         self.optimizer = optax.adam(learning_rate=self.schedule, eps=1e-8)
         self.opt_state = self.optimizer.init(self._trainable(self.params, self.log_sigmas))
+        self.start_epoch = 0
+
+        # Mid-training resume (an improvement over the reference, which saves
+        # model weights only — SURVEY.md section 5 checkpoint/resume).
+        if self.resume:
+            import pickle
+            with open(self.resume, 'rb') as f:
+                blob = pickle.load(f)
+            to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+            self.params = to_jnp(blob['params'])
+            self.bn_state = to_jnp(blob['bn_state'])
+            extra = blob.get('meta', {})
+            if 'opt_state' in blob:
+                self.opt_state = jax.tree_util.tree_map(jnp.asarray, blob['opt_state'])
+            self.start_epoch = int(extra.get('epoch', 0))
+            self.logger.info('Resumed from %s at epoch %d', self.resume, self.start_epoch)
 
         # Optional multi-chip mesh: batch dim sharded over 'data', params
         # replicated; XLA inserts the gradient all-reduce.
@@ -208,7 +226,13 @@ class Trainer:
         epoch_losses = defaultdict(lambda: defaultdict(list))
         n_tr = float(self.dataset_sizes['train'])
 
-        for epoch in range(self.num_epochs):
+        profile_ctx = None
+        if self.profile:
+            profile_ctx = jax.profiler.trace(self.profile)
+            profile_ctx.__enter__()
+            self.logger.info('Profiling to %s', self.profile)
+
+        for epoch in range(self.start_epoch, self.num_epochs):
             epoch_rng = jax.random.fold_in(self.train_key, epoch)
             (self.params, self.log_sigmas, self.bn_state, self.opt_state,
              train_logs) = self._train_epoch(
@@ -234,6 +258,10 @@ class Trainer:
                 best_params = jax.tree_util.tree_map(jnp.copy, self.params)
                 best_bn = jax.tree_util.tree_map(jnp.copy, self.bn_state)
 
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+
+        self.last_epoch = epoch if self.num_epochs > self.start_epoch else self.start_epoch
         time_elapsed = time.time() - since
         print('\n\n' + '-' * 120)
         self.logger.info('Training:\nTraining complete in {:.0f}m {:.0f}s'
@@ -295,10 +323,19 @@ class Trainer:
 
         if not (self.no_save or load):
             self.path_model = self.path_out
-            save_checkpoint(self.path_model, self.params, self.bn_state,
-                            meta={'mode': self.mode, 'tasks': self.tasks,
-                                  'hidden_size': self.hidden_size, 'n_stage': self.n_stage,
-                                  'version': __version__})
+            import pickle
+            blob = {
+                'format': 'monoloco_tpu-v1',
+                'params': jax.tree_util.tree_map(np.asarray, self.params),
+                'bn_state': jax.tree_util.tree_map(np.asarray, self.bn_state),
+                'opt_state': jax.tree_util.tree_map(np.asarray, self.opt_state),
+                'meta': {'mode': self.mode, 'tasks': self.tasks,
+                         'hidden_size': self.hidden_size, 'n_stage': self.n_stage,
+                         'epoch': getattr(self, 'last_epoch', 0) + 1,
+                         'version': __version__},
+            }
+            with open(self.path_model, 'wb') as f:
+                pickle.dump(blob, f)
             print('-' * 120)
             self.logger.info("\nmodel saved: {} \n".format(self.path_model))
         else:

@@ -112,6 +112,50 @@ class TestTrainGenerateEval:
         assert ev.errors['monoloco_pp']['all'], "no matched detections"
         assert os.path.exists(ev.path_results)
 
+    def test_generate_stereo(self, in_root):
+        """MonStereo generate path: train a tiny stereo model and emit txts."""
+        import argparse
+        from monoloco_tpu.train import Trainer
+        from monoloco_tpu.eval import GenerateKitti
+        joints = sorted(glob.glob('data/arrays/joints-kitti-stereo-*.json'))[-1]
+        targs = argparse.Namespace(
+            joints=joints, mode='stereo', out='data/outputs/synth_stereo.pkl',
+            epochs=15, bs=256, dropout=0.2, lr=0.003, sched_step=30,
+            sched_gamma=0.98, hidden_size=128, n_stage=2, r_seed=1,
+            auto_tune_mtl=False, no_save=False, print_loss=False)
+        t = Trainer(targs)
+        t.train()
+        t.evaluate()
+        gargs = argparse.Namespace(
+            mode='stereo', model='data/outputs/synth_stereo.pkl',
+            dir_ann='annotations', n_dropout=0, dropout=0.2, hidden_size=128,
+            n_stage=2, baselines=False, generate_official=False)
+        GenerateKitti(gargs).run()
+        txts = glob.glob('data/kitti/monstereo/*.txt')
+        assert len(txts) == 6
+        with open(txts[0]) as f:
+            assert len(f.readline().split()) == 18
+
+    def test_activity_prep_and_eval(self, in_root, trained):
+        """Social-distance gt augmentation + ActivityEvaluator on KITTI."""
+        import argparse
+        from monoloco_tpu.prep import PreprocessKitti
+        prep = PreprocessKitti(dir_ann='annotations', mode='mono', iou_min=0.3)
+        prep.process_activity()
+        files = glob.glob('data/kitti/gt_activity/*.txt')
+        assert len(files) == 6
+        with open(files[0]) as f:
+            line = f.readline().split()
+        assert line[-1] in ('0', '1') and len(line) == 16
+
+        from monoloco_tpu.eval.eval_activity import ActivityEvaluator
+        args = argparse.Namespace(dir_ann='annotations', dataset='kitti',
+                                  mode='mono', model=trained, n_dropout=0,
+                                  dropout=0.2)
+        ev = ActivityEvaluator(args)
+        ev.eval_kitti()
+        assert len(ev.all_pred['all']) > 0
+
     def test_cpp_benchmark_on_generated(self, in_root, trained):
         binary = os.path.join(REPO, 'kitti-eval', 'build', 'evaluate_object')
         if not os.path.exists(binary):
