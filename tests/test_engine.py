@@ -79,6 +79,28 @@ class TestStereoForward:
         np.testing.assert_allclose(d_a['d'], d_b['d'], atol=1e-6)
 
 
+class TestLegacyNets:
+    def test_monoloco_p(self):
+        params, bn = init_monoloco_params(jax.random.PRNGKey(4), 34, 9, 256, 3)
+        net = Loco((params, bn), mode='mono', net='monoloco_p')
+        dic = net.forward(_keypoints(3), KK)
+        for key in ('xyz', 'zb', 'xyzd', 'd', 'bi', 'yaw'):
+            assert key in dic
+        assert dic['xyzd'].shape == (3, 4)
+
+    def test_monoloco_legacy(self):
+        params, bn = init_monoloco_params(jax.random.PRNGKey(5), 34, 2, 256, 3)
+        net = Loco((params, bn), mode='mono', net='monoloco')
+        dic = net.forward(_keypoints(3), KK)
+        assert dic['d'].shape == (3, 1)
+        assert dic['bi'].shape == (3, 1)
+        # post_process works without yaw/aux keys
+        boxes = [[100, 80, 200, 280, 0.9]] * 3
+        out = net.post_process(dic, boxes, _keypoints(3), KK)
+        assert len(out['dds_pred']) == 3
+        assert 'angles' not in out or not out['angles']
+
+
 class TestClusterFilter:
     def test_cluster_filter_selects_max_aux(self):
         rng = np.random.RandomState(0)
