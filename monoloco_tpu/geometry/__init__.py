@@ -8,6 +8,7 @@ from .camera import (
     back_correct_angles,
     to_spherical,
     to_cartesian,
+    transform_kp,
     open_image,
 )
 from .iou import (

@@ -105,6 +105,51 @@ def get_keypoints(keypoints, mode):
     raise ValueError(f"unknown keypoint mode: {mode}")
 
 
+def transform_kp(kps, tr_mode):
+    """Ablation keypoint warps (reference camera.py:110-158): collapse or
+    distort the pose to study which cues carry depth information.
+
+    kps: [xs(17), ys(17), confs(17)] lists; returns the same structure plus an
+    empty tail element, matching the reference's output shape."""
+    import numpy as np
+    assert tr_mode in ("None", "singularity", "upper", "lower", "horizontal",
+                       "vertical", "lateral", 'shoulder', 'knee', 'up',
+                       'upside', 'falling', 'random')
+    uv_c = np.asarray(get_keypoints(np.asarray(kps)[None, ...], mode='center'))[0]
+    uu_c, vv_c = float(uv_c[0]), float(uv_c[1])
+
+    if tr_mode == "None":
+        return kps
+    if tr_mode == "singularity":
+        uus = [uu_c] * 17
+        vvs = [vv_c] * 17
+    elif tr_mode == "vertical":
+        uus = [uu_c] * 17
+        vvs = list(kps[1])
+    elif tr_mode == 'horizontal':
+        uus = list(kps[0])
+        vvs = [vv_c] * 17
+    elif tr_mode == 'shoulder':
+        uus = list(kps[0])
+        vvs = list(kps[1][:7]) + [kps[1][6]] * len(kps[1][7:])
+    elif tr_mode == 'knee':
+        uus = list(kps[0])
+        vvs = [kps[1][14]] * len(kps[1][:13]) + list(kps[1][13:])
+    elif tr_mode == 'up':
+        uus = list(kps[0])
+        vvs = [kp - 300 for kp in kps[1]]
+    elif tr_mode == 'falling':
+        uus = [kps[0][16] - kp + kps[1][16] for kp in kps[1]]
+        vvs = [kps[1][16] - kp + kps[0][16] for kp in kps[0]]
+    elif tr_mode == 'random':
+        np.random.seed(6)
+        uus = np.random.uniform(min(kps[0]), max(kps[0]), len(kps[0])).tolist()
+        vvs = np.random.uniform(min(kps[1]), max(kps[1]), len(kps[1])).tolist()
+    else:
+        return kps
+    return [uus, vvs, kps[2], []]
+
+
 def xyz_from_distance(distances, xy_centers):
     """Scale normalized rays (z=1 coordinates) by distances to 3D points.
 

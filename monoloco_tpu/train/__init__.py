@@ -1,5 +1,7 @@
 from .losses import (
     laplace_loss_terms,
+    gaussian_loss_terms,
+    custom_l1_loss,
     composite_losses,
     multitask_loss,
     LOSS_TASKS_MONO,

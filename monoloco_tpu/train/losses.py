@@ -65,6 +65,23 @@ def _angle_loss(orient, gt_orient, mask=None):
     return _masked_mean(vals, mask) * 180.0 / 3.14
 
 
+def gaussian_loss_terms(mu_si, x, mask=None):
+    """Gaussian NLL alternate (unused by default, parity with losses.py:145-186):
+    ((x - mu)/si)^2/2 + log(si*sqrt(2*pi)), si floored at 0.1."""
+    mu, si = mu_si[:, 0:1], mu_si[:, 1:2]
+    si = jnp.maximum(si, 0.1)
+    norm = x - mu
+    values = (norm / si) ** 2 / 2 + jnp.log(si * jnp.sqrt(2 * jnp.pi))
+    return _masked_mean(values, mask)
+
+
+def custom_l1_loss(out, gt, mask=None, beta=1):
+    """Distance-weighted L1 alternate (losses.py:189-238): weight
+    max(0.1, 1 - x/78)^beta emphasizes near-range errors."""
+    ww = jnp.maximum(0.1, 1.0 - gt / 78.0) ** beta
+    return _masked_mean(jnp.abs(out - gt) * ww, mask)
+
+
 def _task_loss(task, phase):
     if task == 'd':
         return laplace_loss_terms if phase == 'train' else _l1_from_laplace
