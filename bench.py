@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 BATCH = 65536
-SCAN_ITERS = 8
+SCAN_ITERS = 32
 TARGET = 50_000.0
 
 

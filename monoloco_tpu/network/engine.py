@@ -16,12 +16,19 @@ Serving architecture (one device program per image):
 """
 
 import math
+import os
 from collections import defaultdict
 from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Serving matmul precision: TPU default (fast, bfloat16-ish) unless the user
+# pins full f32 for maximum numerical parity with the f32 reference, e.g. when
+# evaluating converted reference checkpoints:
+#   MONOLOCO_TPU_PRECISION=float32 python -m monoloco_tpu.run eval ...
+_MATMUL_PRECISION = os.environ.get('MONOLOCO_TPU_PRECISION', 'default')
 
 from ..geometry import get_iou_matches, reorder_matches
 from ..geometry.host import (
@@ -106,29 +113,32 @@ class Loco:
         arch = self.arch
 
         def program(folded, kps, kk):
-            if net == 'monoloco':
-                inputs = preprocess_monoloco(kps, kk, zero_center=True)
+            with jax.default_matmul_precision(_MATMUL_PRECISION):
+                if net == 'monoloco':
+                    inputs = preprocess_monoloco(kps, kk, zero_center=True)
+                    raw = folded_forward(folded, inputs, arch=arch)
+                    return {'d': raw[:, 0:1], 'bi': unnormalize_bi(raw)}
+                inputs = preprocess_monoloco(kps, kk)
                 raw = folded_forward(folded, inputs, arch=arch)
-                return {'d': raw[:, 0:1], 'bi': unnormalize_bi(raw)}
-            inputs = preprocess_monoloco(kps, kk)
-            raw = folded_forward(folded, inputs, arch=arch)
-            if net == 'monoloco_p':
-                return extract_outputs_mono(raw)
-            return extract_outputs(raw)
+                if net == 'monoloco_p':
+                    return extract_outputs_mono(raw)
+                return extract_outputs(raw)
 
         return jax.jit(program)
 
     def _stereo_program(self):
         def program(folded, kps_l, kps_r, r_mask, kk):
-            inputs, _ = preprocess_monstereo(kps_l, kps_r, kk)
-            raw = folded_forward(folded, inputs, arch='loco')
-            m, r = kps_l.shape[0], kps_r.shape[0]
-            out3 = raw.reshape(m, r, raw.shape[1])
-            # Padded right columns cannot win the aux argmax.
-            aux = jnp.where(r_mask[None, :], out3[:, :, -1], -jnp.inf)
-            best = jnp.argmax(aux, axis=1)
-            selected = jnp.take_along_axis(out3, best[:, None, None], axis=1)[:, 0, :]
-            return extract_outputs(selected)
+            with jax.default_matmul_precision(_MATMUL_PRECISION):
+                inputs, _ = preprocess_monstereo(kps_l, kps_r, kk)
+                raw = folded_forward(folded, inputs, arch='loco')
+                m, r = kps_l.shape[0], kps_r.shape[0]
+                out3 = raw.reshape(m, r, raw.shape[1])
+                # Padded right columns cannot win the aux argmax.
+                aux = jnp.where(r_mask[None, :], out3[:, :, -1], -jnp.inf)
+                best = jnp.argmax(aux, axis=1)
+                selected = jnp.take_along_axis(out3, best[:, None, None],
+                                               axis=1)[:, 0, :]
+                return extract_outputs(selected)
 
         return jax.jit(program)
 
