@@ -156,6 +156,90 @@ class TestTrainGenerateEval:
         ev.eval_kitti()
         assert len(ev.all_pred['all']) > 0
 
+    def test_predict_with_gt_matching(self, in_root, trained):
+        """predict --path_gt: detections are matched against the names-json gt
+        and dds_real/boxes_gt are emitted (reference predict.py:220-223)."""
+        import json
+        from monoloco_tpu.predict import predict
+        import argparse
+        names_json = sorted(glob.glob('data/arrays/names-kitti-mono-*.json'))[-1]
+        with open('splits/kitti_val.txt') as f:
+            val_name = f.readline().strip()
+        image = os.path.join('data', 'kitti', 'images', val_name + '.png')
+        # pifpaf json discoverable next to the image
+        import shutil
+        shutil.copy(os.path.join('annotations', val_name + '.png.predictions.json'),
+                    image + '.pifpaf.json')
+        out_dir = 'predout_gt'
+        os.makedirs(out_dir, exist_ok=True)
+        args = argparse.Namespace(
+            images=[image], glob=None, checkpoint=None, json_dir=None,
+            output_directory=out_dir, output_types=['json'], json_output=None,
+            no_save=False, hide_distance=False, dpi=100, long_edge=None,
+            activities=[], mode='mono', model=trained, net=None,
+            path_gt=names_json, z_max=100, n_dropout=0, dropout=0.2,
+            show_all=False, webcam=False, camera=0, calibration='kitti',
+            focal_length=5.7, threshold_prob=0.25, threshold_dist=2.5,
+            radii=(0.3, 0.5, 1))
+        predict(args)
+        out_json = os.path.join(out_dir, f'out_{val_name}.png.monoloco.json')
+        with open(out_json) as f:
+            dic = json.load(f)
+        assert dic['dds_real'], "gt matching produced no matches"
+        assert len(dic['boxes_gt']) == len(dic['dds_real'])
+        assert any(dic['gt'])
+
+    def test_predict_epistemic_cli(self, in_root, trained):
+        """--n_dropout > 0: stds_epi are nonzero in the output json."""
+        import json
+        from monoloco_tpu.predict import predict
+        import argparse
+        with open('splits/kitti_val.txt') as f:
+            val_name = f.readlines()[1].strip()
+        image = os.path.join('data', 'kitti', 'images', val_name + '.png')
+        import shutil
+        shutil.copy(os.path.join('annotations', val_name + '.png.predictions.json'),
+                    image + '.pifpaf.json')
+        out_dir = 'predout_epi'
+        os.makedirs(out_dir, exist_ok=True)
+        args = argparse.Namespace(
+            images=[image], glob=None, checkpoint=None, json_dir=None,
+            output_directory=out_dir, output_types=['json'], json_output=None,
+            no_save=False, hide_distance=False, dpi=100, long_edge=None,
+            activities=[], mode='mono', model=trained, net=None,
+            path_gt=None, z_max=100, n_dropout=3, dropout=0.2,
+            show_all=False, webcam=False, camera=0, calibration='kitti',
+            focal_length=5.7, threshold_prob=0.25, threshold_dist=2.5,
+            radii=(0.3, 0.5, 1))
+        predict(args)
+        with open(os.path.join(out_dir, f'out_{val_name}.png.monoloco.json')) as f:
+            dic = json.load(f)
+        assert all(e > 0 for e in dic['stds_epi'])
+
+    def test_predict_keypoints_mode(self, in_root):
+        """--mode keypoints: skeleton rendering only, no localization model."""
+        from monoloco_tpu.predict import predict
+        import argparse
+        with open('splits/kitti_val.txt') as f:
+            val_name = f.readlines()[2].strip()
+        image = os.path.join('data', 'kitti', 'images', val_name + '.png')
+        import shutil
+        shutil.copy(os.path.join('annotations', val_name + '.png.predictions.json'),
+                    image + '.pifpaf.json')
+        out_dir = 'predout_kp'
+        os.makedirs(out_dir, exist_ok=True)
+        args = argparse.Namespace(
+            images=[image], glob=None, checkpoint=None, json_dir=None,
+            output_directory=out_dir, output_types=[], json_output=None,
+            no_save=False, hide_distance=False, dpi=100, long_edge=None,
+            activities=[], mode='keypoints', model=None, net=None,
+            path_gt=None, z_max=100, n_dropout=0, dropout=0.2,
+            show_all=False, webcam=False, camera=0, calibration='kitti',
+            focal_length=5.7, threshold_prob=0.25, threshold_dist=2.5,
+            radii=(0.3, 0.5, 1))
+        predict(args)
+        assert os.path.exists(os.path.join(out_dir, f'out_{val_name}.png.keypoints.png'))
+
     def test_cpp_benchmark_on_generated(self, in_root, trained):
         binary = os.path.join(REPO, 'kitti-eval', 'build', 'evaluate_object')
         if not os.path.exists(binary):
