@@ -9,8 +9,6 @@ the convolutions at load time, and torch/torchvision checkpoints (the
 reference's weight format) convert via `convert_torch_resnet50`.
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ Serving architecture (one device program per image):
 import math
 import os
 from collections import defaultdict
-from functools import partial
 
 import numpy as np
 import jax

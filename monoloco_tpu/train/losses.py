@@ -15,7 +15,6 @@ Every reduction takes an optional row mask so statically-padded partial batches
 produce exactly the same values as ragged ones.
 """
 
-import jax
 import jax.numpy as jnp
 
 from ..network.decode import extract_outputs, extract_labels, extract_labels_aux

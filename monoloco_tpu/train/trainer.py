@@ -24,14 +24,12 @@ TPU-first design:
    is a no-op.
 """
 
-import copy
 import datetime
 import logging
 import math
 import os
 import time
 from collections import defaultdict
-from functools import partial
 
 import numpy as np
 import jax
@@ -41,7 +39,7 @@ import optax
 from .. import __version__
 from .datasets import KeypointsDataset
 from .losses import multitask_loss, composite_losses, LOSS_TASKS_MONO, LOSS_TASKS_STEREO
-from ..models import init_loco_params, loco_forward, save_checkpoint, count_params
+from ..models import init_loco_params, loco_forward, count_params
 from ..network.decode import extract_outputs, extract_labels
 from ..parallel import constrain_batch
 from ..utils import set_logger

@@ -9,7 +9,6 @@ coloring.
 
 import math
 
-import numpy as np
 import matplotlib
 matplotlib.use('Agg')
 import matplotlib.pyplot as plt

@@ -10,8 +10,6 @@ steady-state per-frame device cost is a single dispatch.
 import logging
 import time
 
-import numpy as np
-
 from ..network import Loco, load_calibration, preprocess_pifpaf
 from .printer import Printer
 
