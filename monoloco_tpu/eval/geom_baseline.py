@@ -77,7 +77,8 @@ def geometric_coordinates(keypoints, kk, average_y=AVERAGE_Y):
     rhs = np.stack([cc * xx, -cc * ones, zeros, zeros], axis=1)
     AtA = np.einsum('mij,mik->mjk', A, A)
     Atb = np.einsum('mij,mi->mj', A, rhs)
-    sols = np.linalg.solve(AtA + 1e-12 * np.eye(3)[None], Atb)
+    # numpy>=2 solves vectors only via an explicit trailing axis
+    sols = np.linalg.solve(AtA + 1e-12 * np.eye(3)[None], Atb[..., None])[..., 0]
     zzs_geom = [abs(float(z)) for z in sols[:, 1]]
     return zzs_geom, xy_centers
 

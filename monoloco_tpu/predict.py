@@ -122,6 +122,13 @@ def predict(args):
     for i in range(0, len(args.images), step):
         image_path = args.images[i]
         annotations = load_annotations(image_path, args)
+        if args.json_output is not None:
+            json_dir = args.json_output if isinstance(args.json_output, str) \
+                else (args.output_directory or os.path.dirname(image_path))
+            json_out = os.path.join(json_dir, os.path.basename(image_path)
+                                    + '.predictions.json')
+            with open(json_out, 'w') as f:
+                json.dump(annotations, f)
         annotations_r = load_annotations(args.images[i + 1], args) if step == 2 else None
 
         with open(image_path, 'rb') as f:

@@ -1,0 +1,87 @@
+"""Smaller CLI/API paths: geometric baseline, webcam gating, json output."""
+
+import glob
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, 'tools'))
+
+
+def test_geometric_baseline_on_joints(tmp_path, monkeypatch):
+    """eval --geometric on a prep-produced joints file."""
+    from make_synthetic_kitti import make_dataset
+    make_dataset(str(tmp_path), n_train=8, n_val=4, seed=21)
+    monkeypatch.chdir(tmp_path)
+    from monoloco_tpu.prep import PreprocessKitti
+    prep = PreprocessKitti(dir_ann='annotations', mode='mono', iou_min=0.3)
+    path_joints, _ = prep.run()
+    from monoloco_tpu.eval import geometric_baseline
+    errors = geometric_baseline(path_joints)
+    assert 'all' in errors
+
+
+def test_geometric_coordinates_depth_accuracy():
+    """Batched least-squares depth should recover synthetic depths roughly."""
+    import numpy as np
+    from make_synthetic_kitti import make_person, FX, CX, CY
+    from monoloco_tpu.eval import geometric_coordinates
+    rng = np.random.RandomState(0)
+    kk = [[FX, 0, CX], [0, FX, CY], [0, 0, 1]]
+    kps, zs = [], []
+    for z in (8.0, 15.0, 25.0):
+        flat, _, _ = make_person(0.5, z, rng)
+        arr = np.asarray(flat).reshape(17, 3).T
+        kps.append(arr)
+        zs.append(z)
+    zzs, centers = geometric_coordinates(np.asarray(kps), kk)
+    for z_est, z_gt in zip(zzs, zs):
+        assert abs(z_est - z_gt) / z_gt < 0.35  # avg-height prior: rough depth
+    assert centers.shape == (3, 3)
+
+
+def test_webcam_requires_cv2():
+    import argparse
+    from monoloco_tpu.visuals.webcam import webcam
+    has_cv2 = True
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        has_cv2 = False
+    if has_cv2:
+        pytest.skip('cv2 installed; gating not applicable')
+    args = argparse.Namespace(mode='mono', z_max=10, long_edge=None, model=None,
+                              net=None, n_dropout=0, dropout=0.2, checkpoint=None,
+                              camera=0, calibration='custom', focal_length=5.7,
+                              activities=[])
+    with pytest.raises(ImportError):
+        webcam(args)
+
+
+def test_predict_json_output_flag(tmp_path, monkeypatch):
+    """--json-output re-emits the pose annotations as a predictions json."""
+    import shutil
+    from monoloco_tpu.predict import predict
+    import argparse
+    img = str(tmp_path / 'im.png')
+    shutil.copy(os.path.join(REPO, 'tests', 'fixture_002282.png'), img)
+    shutil.copy(os.path.join(REPO, 'tests', 'fixture_002282.pifpaf.json'),
+                img + '.pifpaf.json')
+    args = argparse.Namespace(
+        images=[img], glob=None, checkpoint=None, json_dir=None,
+        output_directory=str(tmp_path), output_types=[], json_output=True,
+        no_save=False, hide_distance=False, dpi=100, long_edge=None,
+        activities=[], mode='keypoints', model=None, net=None,
+        path_gt=None, z_max=100, n_dropout=0, dropout=0.2,
+        show_all=False, webcam=False, camera=0, calibration='kitti',
+        focal_length=5.7, threshold_prob=0.25, threshold_dist=2.5,
+        radii=(0.3, 0.5, 1))
+    predict(args)
+    out = str(tmp_path / 'im.png.predictions.json')
+    assert os.path.exists(out)
+    with open(out) as f:
+        anns = json.load(f)
+    assert len(anns) == 16
