@@ -120,7 +120,9 @@ def _update_distances(dic_fin, dic_dist, phase, average_y):
             kps_arr = kps_arr[0]
         dic_uv = {mode: np_get_keypoints(kps_arr, mode)
                   for mode in ['head', 'shoulder', 'hip', 'ankle']}
-        kk = dic_fin['K'][idx] if idx < len(dic_fin.get('K', [])) else None
+        # K is stored per annotation by this repo's prep pipelines.
+        ks = dic_fin.get('K', [])
+        kk = ks[idx] if idx < len(ks) else (ks[0] if ks else None)
         if kk is None or (isinstance(kk, list) and not kk):
             continue
         if has_3d:

@@ -146,7 +146,10 @@ def transform_kp(kps, tr_mode):
         uus = np.random.uniform(min(kps[0]), max(kps[0]), len(kps[0])).tolist()
         vvs = np.random.uniform(min(kps[1]), max(kps[1]), len(kps[1])).tolist()
     else:
-        return kps
+        # 'upper'/'lower'/'lateral'/'upside' appear in the reference's assert
+        # but have no implementation there either; fail loudly rather than
+        # silently reproducing the baseline.
+        raise NotImplementedError(f"transform_kp mode '{tr_mode}' has no warp")
     return [uus, vvs, kps[2], []]
 
 

@@ -153,7 +153,6 @@ class Loco:
 
     def _mc_program(self):
         fwd = loco_forward if self.arch == 'loco' else monoloco_forward
-        arch = self.arch
         p_dropout = self.p_dropout
         net = self.net
 
@@ -167,7 +166,9 @@ class Loco:
             def one_pass(rng):
                 out, _ = fwd(params, bn_state, x, train=False, rng=rng,
                              p_dropout=p_dropout, mc_dropout=True)
-                db = out[:, 0:2] if arch == 'monoloco' else out[:, 2:4]
+                # Only the legacy 2-output monoloco head stores [d, spread] at
+                # 0:2; monoloco_p/monoloco_pp keep them at 2:4 (ref net.py:148-151).
+                db = out[:, 0:2] if net == 'monoloco' else out[:, 2:4]
                 bi = unnormalize_bi(db)
                 mu_b = jnp.concatenate([db[:, 0:1], bi], axis=1)
                 return laplace_sampling(mu_b, N_SAMPLES)

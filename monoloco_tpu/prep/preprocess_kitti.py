@@ -124,7 +124,6 @@ class PreprocessKitti:
             if dic_boxes is None:
                 continue
             self.dic_names[basename + '.png']['K'] = copy.deepcopy(dic_gt['K'])
-            self.dic_jo[self.phase]['K'].append(dic_gt['K'])
 
             for ii, bxs_gt in enumerate(dic_boxes['gt']):
                 kps = np.asarray(dic_kps['left'][ii], dtype=np.float64)
@@ -212,6 +211,9 @@ class PreprocessKitti:
         self.dic_jo[self.phase]['X'].append(inp)
         self.dic_jo[self.phase]['Y'].append(label)
         self.dic_jo[self.phase]['names'].append(self.name)
+        # One K per annotation (not per image): the geometric baseline
+        # back-projects each annotation with its own calibration.
+        self.dic_jo[self.phase]['K'].append(kk)
         append_cluster(self.dic_jo, self.phase, inp, label, kp_list)
         self.stats['total_' + self.phase] += 1
 
@@ -248,6 +250,7 @@ class PreprocessKitti:
                 self.dic_jo[self.phase]['X'].append(inp)
                 self.dic_jo[self.phase]['Y'].append(lab)
                 self.dic_jo[self.phase]['names'].append(self.name)
+                self.dic_jo[self.phase]['K'].append(kk)
                 append_cluster(self.dic_jo, self.phase, inp, lab, keypoint)
                 self.stats_stereo['total_' + self.phase] += 1
 

@@ -96,6 +96,14 @@ class HypTuning:
 
         now_time = datetime.datetime.now().strftime("%Y%m%d-%H%M")[2:]
         self.path_model = self.path_model + now_time + '.pkl'
+        if best_model is None:
+            # Every trial diverged (NaN) or validated above the threshold:
+            # keep the last trial so the search still produces an artifact.
+            self.logger.warning("No trial beat the %.1f m threshold; "
+                                "saving the last trial's model", best_acc_val)
+            best_model = model
+            dic_best = {'joints': self.joints, 'acc_val': float(acc_val),
+                        'random_seed': self.r_seed, 'note': 'no trial under threshold'}
         params, bn_state = best_model
         save_checkpoint(self.path_model, params, bn_state, meta=dic_best)
         with open(self.path_log + now_time, 'w') as f:

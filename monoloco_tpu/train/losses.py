@@ -76,8 +76,10 @@ def gaussian_loss_terms(mu_si, x, mask=None):
 
 def custom_l1_loss(out, gt, mask=None, beta=1):
     """Distance-weighted L1 alternate (losses.py:189-238): weight
-    max(0.1, 1 - x/78)^beta emphasizes near-range errors."""
-    ww = jnp.maximum(0.1, 1.0 - gt / 78.0) ** beta
+    max(0.1, 1 - d/78)^beta emphasizes near-range errors. The reference
+    derives the weight from the (detached) network output; mirror that."""
+    import jax
+    ww = jnp.maximum(0.1, 1.0 - jax.lax.stop_gradient(out) / 78.0) ** beta
     return _masked_mean(jnp.abs(out - gt) * ww, mask)
 
 

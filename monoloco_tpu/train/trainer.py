@@ -310,7 +310,12 @@ class Trainer:
             out, _ = loco_forward(self.params, self.bn_state, x, train=False)
             self._compute_stats(out, y, dic_err['val'], size_eval, clst='all')
 
+        if self.auto_tune_mtl and self.log_sigmas is not None:
+            dic_err['val']['sigmas'] = [float(jnp.exp(s)) for s in self.log_sigmas]
         self._cout_stats(dic_err['val'], size_eval, clst='all')
+        if self.auto_tune_mtl and self.log_sigmas is not None:
+            self.logger.info("Sigmas: " + ", ".join(
+                f"{t}: {s:.2f}" for t, s in zip(self.tasks, dic_err['val']['sigmas'])))
         for clst in self.clusters:
             inputs, outputs_gt, count = dataset.get_cluster_annotations(clst)
             if count == 0:

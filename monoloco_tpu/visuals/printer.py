@@ -102,7 +102,9 @@ class Printer:
         """Create (figures, axes) for the chosen output types."""
         self._process(dic_out)
         figures, axes = [], []
+        self._fig_suffixes = []
         if 'multi' in self.output_types:
+            self._fig_suffixes = ['.multi.png']
             fig = plt.figure(figsize=(self.FIG_WIDTH * 1.8,
                                       self.FIG_WIDTH * self.height / self.width))
             ax_front = fig.add_subplot(1, 2, 1)
@@ -119,12 +121,14 @@ class Printer:
                 self._setup_front(ax)
                 figures.append(fig)
                 axes.append(ax)
+                self._fig_suffixes.append('.front.png')
             if 'bird' in self.output_types:
                 fig = plt.figure(figsize=(self.FIG_WIDTH * 0.8, self.FIG_WIDTH * 0.8))
                 ax = fig.add_subplot(1, 1, 1)
                 self._setup_bird(ax)
                 figures.append(fig)
                 axes.append(ax)
+                self._fig_suffixes.append('.bird.png')
         return figures, axes
 
     def _setup_front(self, ax):
@@ -151,18 +155,10 @@ class Printer:
             else:
                 self._draw_bird(ax)
         if self.save:
-            suffix = ('.multi.png' if 'multi' in self.output_types
-                      else '.front.png' if 'front' in self.output_types
-                      else '.bird.png')
-            for fig in figures:
+            for fig, suffix in zip(figures, self._fig_suffixes):
                 fig.savefig(self.output_path + suffix, bbox_inches='tight')
                 print(f'Image saved: {self.output_path + suffix}')
                 plt.close(fig)
-            # With both front and bird requested separately, save each.
-            if 'front' in self.output_types and 'bird' in self.output_types \
-                    and 'multi' not in self.output_types and len(figures) == 2:
-                figures[0].savefig(self.output_path + '.front.png', bbox_inches='tight')
-                figures[1].savefig(self.output_path + '.bird.png', bbox_inches='tight')
 
     def _draw_front(self, ax, image, dic_out, annotations):
         ax.imshow(image)

@@ -25,12 +25,28 @@ def webcam(args):
         import openpifpaf
     except ImportError as e:
         raise ImportError("webcam mode requires openpifpaf for pose estimation") from e
+    import matplotlib
+    # The package defaults to the Agg backend for file rendering; live view
+    # needs an interactive one. Fall back to saving frames when headless.
+    interactive = True
+    try:
+        matplotlib.use('TkAgg', force=True)
+    except Exception:
+        try:
+            matplotlib.use('QtAgg', force=True)
+        except Exception:
+            interactive = False
     import matplotlib.pyplot as plt
     from PIL import Image
 
     assert args.mode == 'mono', "webcam streaming supports mono mode only"
+    if not args.output_types:
+        args.output_types = ['multi']
     args.z_max = min(args.z_max, 10)
     long_edge = args.long_edge or 144
+    if not interactive:
+        LOG.warning('No interactive matplotlib backend: saving frames as '
+                    'out_webcam_<n>.png instead of displaying')
 
     net = Loco(model=args.model, mode=args.mode, net=args.net,
                n_dropout=args.n_dropout, p_dropout=args.dropout)
@@ -64,12 +80,17 @@ def webcam(args):
             dic_out = net.raising_hand(dic_out, keypoints)
 
         if visualizer is None:
-            plt.ion()
-            visualizer = Printer(pil_image, output_path='', kk=kk, args=args)
-            visualizer.save = False
+            if interactive:
+                plt.ion()
+            frame_idx = 0
+        visualizer = Printer(pil_image, output_path=f'out_webcam_{frame_idx}',
+                             kk=kk, args=args)
+        visualizer.save = not interactive
         figures, axes = visualizer.factory_axes(dic_out)
         visualizer.draw(figures, axes, pil_image, dic_out, annotations=annotations)
-        plt.pause(0.001)
-        for fig in figures:
-            plt.close(fig)
+        if interactive:
+            plt.pause(0.001)
+            for fig in figures:
+                plt.close(fig)
+        frame_idx += 1
         print(f'run-time: {(time.time() - start) * 1000:.0f} ms', end='\r')
