@@ -11,8 +11,49 @@ trainer.py:151-152).
 """
 
 import json
+import os
 
 import numpy as np
+
+
+def _load_joints_cached(joints):
+    """Parse a joints JSON once, memoizing the parsed structure (numeric fields
+    as numpy arrays) in a pickle sidecar.
+
+    Full-KITTI joints files are >100 MB of JSON; re-parsing them for every
+    Trainer/dataset instantiation costs tens of seconds of host time. The
+    sidecar deserializes ~10x faster and is refreshed whenever the source JSON
+    is newer.
+    """
+    import pickle
+    sidecar = joints + '.cache.pkl'
+    if (os.path.exists(sidecar)
+            and os.path.getmtime(sidecar) >= os.path.getmtime(joints)):
+        try:
+            with open(sidecar, 'rb') as f:
+                return pickle.load(f)
+        except Exception:
+            pass
+    with open(joints, 'r') as f:
+        dic_jo = json.load(f)
+    cached = {'version': dic_jo.get('version', 'unknown')}
+    for phase in ('train', 'val', 'test'):
+        if phase not in dic_jo:
+            continue
+        ph = dic_jo[phase]
+        cached[phase] = {
+            'X': np.asarray(ph.get('X', []), np.float32),
+            'Y': np.asarray(ph.get('Y', []), np.float32),
+            'kps': np.asarray(ph.get('kps', []), np.float32),
+            'names': ph.get('names', []),
+            'clst': ph.get('clst', {}),
+        }
+    try:
+        with open(sidecar, 'wb') as f:
+            pickle.dump(cached, f)
+    except OSError:
+        pass  # read-only location: skip caching
+    return cached
 
 
 class KeypointsDataset:
@@ -20,12 +61,11 @@ class KeypointsDataset:
 
     def __init__(self, joints, phase):
         assert phase in ('train', 'val', 'test')
-        with open(joints, 'r') as f:
-            dic_jo = json.load(f)
-        self.inputs_all = np.asarray(dic_jo[phase]['X'], dtype=np.float32)
-        self.outputs_all = np.asarray(dic_jo[phase]['Y'], dtype=np.float32)
+        dic_jo = _load_joints_cached(joints)
+        self.inputs_all = dic_jo[phase]['X']
+        self.outputs_all = dic_jo[phase]['Y']
+        self.kps_all = dic_jo[phase]['kps']
         self.names_all = dic_jo[phase]['names']
-        self.kps_all = np.asarray(dic_jo[phase]['kps'], dtype=np.float32)
         self.version = dic_jo.get('version', 'unknown')
         self.dic_clst = dic_jo[phase]['clst']
 

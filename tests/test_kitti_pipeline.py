@@ -156,6 +156,52 @@ class TestTrainGenerateEval:
         ev.eval_kitti()
         assert len(ev.all_pred['all']) > 0
 
+    def test_activity_eval_collective(self, in_root, trained):
+        """Talking evaluation on a synthetic Collective Activity mini dataset."""
+        import argparse
+        import json as jsonlib
+        import numpy as np
+        from PIL import Image
+        from make_synthetic_kitti import make_person
+
+        seq = 'seq02'
+        im_dir = os.path.join('data', 'activity', 'dataset', 'images')
+        ann_gt_dir = os.path.join('data', 'activity', 'dataset', 'annotations')
+        pif_dir = 'collective_ann'
+        for d in (im_dir, ann_gt_dir, pif_dir):
+            os.makedirs(d, exist_ok=True)
+
+        rng = np.random.RandomState(5)
+        gt_lines = []
+        for frame_i in (1, 2):
+            im_name = f'{seq}_frame{frame_i:04d}.jpg'
+            Image.new('RGB', (1242, 375), (80, 80, 80)).save(
+                os.path.join(im_dir, im_name))
+            anns = []
+            frame_key = f'{frame_i:03d}'   # extract_frame_number convention
+            for p, (x, z) in enumerate([(-0.8, 7.0), (0.8, 7.0), (6.0, 14.0)]):
+                flat, bbox, gt = make_person(x, z, rng)
+                anns.append({'keypoints': flat, 'bbox': bbox,
+                             'score': 0.9, 'category_id': 1})
+                b = gt['box']
+                cat = '6' if p < 2 else '1'   # first two are talking
+                gt_lines.append(f"{frame_key}\t{b[0]:.0f}\t{b[1]:.0f}"
+                                f"\t{b[2]-b[0]:.0f}\t{b[3]-b[1]:.0f}\t{cat}")
+            with open(os.path.join(pif_dir, im_name + '.predictions.json'), 'w') as f:
+                jsonlib.dump(anns, f)
+        with open(os.path.join(ann_gt_dir, f'{seq}_annotations.txt'), 'w') as f:
+            f.write('\n'.join(gt_lines) + '\n')
+
+        from monoloco_tpu.eval.eval_activity import ActivityEvaluator
+        args = argparse.Namespace(dir_ann=pif_dir, dataset='collective',
+                                  mode='mono', model=trained, n_dropout=0,
+                                  dropout=0.2)
+        ev = ActivityEvaluator(args)
+        ev.sequences = [seq]
+        ev.eval_collective()
+        assert len(ev.all_pred[seq]) > 0
+        assert len(ev.all_gt[seq]) == len(ev.all_pred[seq])
+
     def test_predict_with_gt_matching(self, in_root, trained):
         """predict --path_gt: detections are matched against the names-json gt
         and dds_real/boxes_gt are emitted (reference predict.py:220-223)."""
