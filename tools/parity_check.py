@@ -102,7 +102,50 @@ def main():
     print(f"decode yaw   max abs err: {d_yaw:.3e}")
     _ = ref_extract_labels
 
-    ok = err_eval < 1e-3 and err_train < 1e-3 and abs(float(ref_loss) - float(my_loss)) < 1e-3
+    # --- End-to-end engine parity on the real fixture keypoints ---
+    import json
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, 'tests', 'fixture_002282.pifpaf.json')) as f:
+        annotations = json.load(f)
+    from monoloco_tpu.network import preprocess_pifpaf, load_calibration
+    boxes, keypoints = preprocess_pifpaf(annotations, im_size=(1238, 374),
+                                         enlarge_boxes=False)
+    kk = load_calibration('kitti', (1238, 374))
+
+    torch.manual_seed(3)
+    ref_mono = RefLocoModel(input_size=34, output_size=9, linear_size=256,
+                            p_dropout=0.0, num_stage=3, device='cpu')
+    sd_m = {k: v.detach().numpy() for k, v in ref_mono.state_dict().items()
+            if 'num_batches_tracked' not in k}
+    params_m, bn_m = convert_torch_state_dict(sd_m, arch='loco')
+
+    from monoloco.network.net import Loco as RefLoco
+    # net left as None: mode='mono' defaults to monoloco_pp (the reference's
+    # explicit-net branch reads self.net before assigning it).
+    ref_engine = RefLoco(model=ref_mono, mode='mono')
+    ref_dic = ref_engine.forward(keypoints, kk)
+    ref_post = ref_engine.post_process(dict(ref_dic), boxes, keypoints, kk)
+
+    from monoloco_tpu.network import Loco as MyLoco
+    my_engine = MyLoco((params_m, bn_m), mode='mono')
+    my_dic = my_engine.forward(keypoints, kk)
+    my_post = my_engine.post_process(dict(my_dic), boxes, keypoints, kk)
+
+    d_fixture = np.abs(np.asarray(ref_dic['d']) - np.asarray(my_dic['d'])).max()
+    dds_diff = np.abs(np.asarray(ref_post['dds_pred'])
+                      - np.asarray(my_post['dds_pred'])).max()
+    conf_diff = np.abs(np.asarray(ref_post['confs'])
+                       - np.asarray(my_post['confs'])).max()
+    xyz_diff = np.abs(np.asarray(ref_post['xyz_pred'])
+                      - np.asarray(my_post['xyz_pred'])).max()
+    print(f"fixture engine d       max abs err: {d_fixture:.3e}")
+    print(f"fixture post dds_pred  max abs err: {dds_diff:.3e}")
+    print(f"fixture post confs     max abs err: {conf_diff:.3e}")
+    print(f"fixture post xyz_pred  max abs err: {xyz_diff:.3e}")
+    fixture_ok = d_fixture < 1e-3 and dds_diff < 1e-3 and xyz_diff < 1e-2
+
+    ok = (err_eval < 1e-3 and err_train < 1e-3
+          and abs(float(ref_loss) - float(my_loss)) < 1e-3 and fixture_ok)
     print("PARITY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
