@@ -13,6 +13,7 @@ from .camera import (
 )
 from .iou import (
     iou_matrix,
+    get_iou_matrix,
     calculate_iou,
     get_iou_matches,
     get_iou_matches_matrix,

@@ -18,3 +18,15 @@ from .kitti import (
     find_cluster,
 )
 from .logs import set_logger
+from .nuscenes import select_categories
+
+# Geometry lives in monoloco_tpu.geometry (the jit/device layer); re-export it
+# here so imports written against the reference's `monoloco.utils` port 1:1.
+from ..geometry import (
+    get_iou_matches, reorder_matches, get_iou_matrix, get_iou_matches_matrix,
+    get_category, open_annotations,
+    xyz_from_distance, get_keypoints, pixel_to_camera, project_3d, open_image,
+    correct_angle, to_spherical, to_cartesian, back_correct_angles,
+    mask_joint_disparity, average_locations, extract_stereo_matches,
+    verify_stereo, disparity_to_depth, transform_kp,
+)
