@@ -46,6 +46,19 @@ from ..activity import social_interactions, is_raising_hand
 N_SAMPLES = 100
 LINEAR_SIZE_MONO = 256
 
+# MONOLOCO_TPU_KERNEL=pallas routes the eval MLP through the fused Pallas
+# kernel (ops/fused_mlp.py) when the hidden size is MXU-aligned; the XLA path
+# is the default (equal throughput at these shapes, broader shape support).
+_USE_PALLAS = os.environ.get('MONOLOCO_TPU_KERNEL', '') == 'pallas'
+
+
+def _mlp_forward(folded, inputs, arch):
+    if _USE_PALLAS and arch == 'loco' and folded['l0']['w'].shape[1] % 128 == 0:
+        from ..ops import fused_loco_forward
+        interpret = jax.default_backend() != 'tpu'
+        return fused_loco_forward(folded, inputs, interpret=interpret)
+    return folded_forward(folded, inputs, arch=arch)
+
 
 def _bucket(n, minimum=4):
     b = minimum
@@ -115,10 +128,10 @@ class Loco:
             with jax.default_matmul_precision(_MATMUL_PRECISION):
                 if net == 'monoloco':
                     inputs = preprocess_monoloco(kps, kk, zero_center=True)
-                    raw = folded_forward(folded, inputs, arch=arch)
+                    raw = _mlp_forward(folded, inputs, arch)
                     return {'d': raw[:, 0:1], 'bi': unnormalize_bi(raw)}
                 inputs = preprocess_monoloco(kps, kk)
-                raw = folded_forward(folded, inputs, arch=arch)
+                raw = _mlp_forward(folded, inputs, arch)
                 if net == 'monoloco_p':
                     return extract_outputs_mono(raw)
                 return extract_outputs(raw)
@@ -129,7 +142,7 @@ class Loco:
         def program(folded, kps_l, kps_r, r_mask, kk):
             with jax.default_matmul_precision(_MATMUL_PRECISION):
                 inputs, _ = preprocess_monstereo(kps_l, kps_r, kk)
-                raw = folded_forward(folded, inputs, arch='loco')
+                raw = _mlp_forward(folded, inputs, 'loco')
                 m, r = kps_l.shape[0], kps_r.shape[0]
                 out3 = raw.reshape(m, r, raw.shape[1])
                 # Padded right columns cannot win the aux argmax.

