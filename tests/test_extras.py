@@ -72,3 +72,46 @@ def test_auto_tune_training(tmp_path):
     assert len(sigmas) == len(t.tasks)
     assert all(np.isfinite(s) and s > 0 for s in sigmas)
     assert os.path.exists(str(tmp_path / 'at.pkl'))
+
+
+def test_predict_empty_detections(tmp_path):
+    """An image whose pifpaf json has no detections must not crash and must
+    emit an empty result json."""
+    import json
+    import shutil
+    from monoloco_tpu.predict import predict
+    from monoloco_tpu.models import init_loco_params, save_checkpoint
+    import jax
+    img = str(tmp_path / 'empty.png')
+    shutil.copy(os.path.join(HERE, 'fixture_002282.png'), img)
+    with open(img + '.pifpaf.json', 'w') as f:
+        json.dump([], f)
+    params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 64, 2)
+    model = str(tmp_path / 'm.pkl')
+    save_checkpoint(model, params, bn)
+    args = argparse.Namespace(
+        images=[img], glob=None, checkpoint=None, json_dir=None,
+        output_directory=str(tmp_path), output_types=['json', 'multi'],
+        json_output=None, no_save=False, hide_distance=False, dpi=100,
+        long_edge=None, activities=[], mode='mono', model=model, net=None,
+        path_gt=None, z_max=100, n_dropout=0, dropout=0.2, show_all=False,
+        webcam=False, camera=0, calibration='kitti', focal_length=5.7,
+        threshold_prob=0.25, threshold_dist=2.5, radii=(0.3, 0.5, 1))
+    predict(args)
+    with open(str(tmp_path / 'out_empty.png.monoloco.json')) as f:
+        dic = json.load(f)
+    assert dic == {} or not dic.get('dds_pred')
+
+
+def test_trainer_profile_flag(tmp_path):
+    """--profile writes a jax profiler trace directory without crashing."""
+    from monoloco_tpu.train import Trainer
+    prof_dir = str(tmp_path / 'prof')
+    args = argparse.Namespace(
+        joints=JOINTS, mode='mono', out=str(tmp_path / 'p.pkl'), epochs=2,
+        bs=128, dropout=0.2, lr=0.002, sched_step=30, sched_gamma=0.98,
+        hidden_size=64, n_stage=2, r_seed=1, auto_tune_mtl=False,
+        no_save=True, print_loss=False, profile=prof_dir)
+    t = Trainer(args)
+    t.train()
+    assert os.path.isdir(prof_dir) and os.listdir(prof_dir)

@@ -113,6 +113,23 @@ class TestRelativeErrorGate:
         assert _ap(tmp_path, 'detection_1%') < 50
 
 
+class TestSweeps:
+    def test_analyze_recall_and_distance(self, tmp_path):
+        _setup(tmp_path)
+        res = subprocess.run([BINARY, 'test', 'val', '1', '1'], cwd=tmp_path,
+                             capture_output=True, text=True, timeout=300)
+        assert res.returncode == 0, res.stdout + res.stderr
+        iour = np.atleast_2d(np.loadtxt(
+            tmp_path / 'results' / 'test' / 'stats_pedestrian_iour.txt'))
+        assert iour.shape[1] == 51          # recall vs IoU sweep
+        assert iour[0, 0] >= iour[0, -1]    # recall decreases with IoU
+        dist = np.atleast_2d(np.loadtxt(
+            tmp_path / 'results' / 'test' / 'stats_pedestrian_distance.txt'))
+        assert dist.shape[1] == (60 - 10) // 5 + 1   # 10..60 step 5
+        # perfect detections: recall 1.0 once all gt are within range
+        assert dist[3, -1] > 0.95
+
+
 class TestParser:
     def test_parser_runs(self, tmp_path):
         _setup(tmp_path)
