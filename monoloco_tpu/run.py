@@ -221,6 +221,15 @@ def main():
                 kitti_eval.printer()
             elif 'nuscenes' in args.dataset:
                 from .train import Trainer
+                # The eval namespace lacks the training-only flags Trainer
+                # reads; fill them with the training defaults.
+                for attr, default in (('out', None), ('epochs', 0), ('bs', 512),
+                                      ('lr', 0.002), ('sched_step', 30),
+                                      ('sched_gamma', 0.98), ('r_seed', 1),
+                                      ('auto_tune_mtl', False), ('no_save', True),
+                                      ('print_loss', False)):
+                    if not hasattr(args, attr):
+                        setattr(args, attr, default)
                 training = Trainer(args)
                 _ = training.evaluate(load=True, model=args.model, debug=False)
             else:
