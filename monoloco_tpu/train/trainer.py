@@ -123,8 +123,10 @@ class Trainer:
             with open(self.resume, 'rb') as f:
                 blob = pickle.load(f)
             to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
-            self.params = to_jnp(blob['params'])
-            self.bn_state = to_jnp(blob['bn_state'])
+            # Continue from the FINAL training state (matching opt_state);
+            # 'params' holds the best-validation weights for serving.
+            self.params = to_jnp(blob.get('final_params', blob['params']))
+            self.bn_state = to_jnp(blob.get('final_bn_state', blob['bn_state']))
             extra = blob.get('meta', {})
             if 'opt_state' in blob:
                 self.opt_state = jax.tree_util.tree_map(jnp.asarray, blob['opt_state'])
@@ -271,6 +273,9 @@ class Trainer:
         if self.print_loss:
             self._print_losses(epoch_losses)
 
+        # Keep the final training state for resume; serve the best weights.
+        self.final_params = self.params
+        self.final_bn_state = self.bn_state
         self.params, self.bn_state = best_params, best_bn
         return best_epoch
 
@@ -329,9 +334,15 @@ class Trainer:
             import pickle
             blob = {
                 'format': 'monoloco_tpu-v1',
+                # Serving weights: the best-validation epoch (reference contract).
                 'params': jax.tree_util.tree_map(np.asarray, self.params),
                 'bn_state': jax.tree_util.tree_map(np.asarray, self.bn_state),
+                # Resume state: the FINAL training state, matching opt_state.
                 'opt_state': jax.tree_util.tree_map(np.asarray, self.opt_state),
+                'final_params': jax.tree_util.tree_map(
+                    np.asarray, getattr(self, 'final_params', self.params)),
+                'final_bn_state': jax.tree_util.tree_map(
+                    np.asarray, getattr(self, 'final_bn_state', self.bn_state)),
                 'meta': {'mode': self.mode, 'tasks': self.tasks,
                          'hidden_size': self.hidden_size, 'n_stage': self.n_stage,
                          'epoch': getattr(self, 'last_epoch', 0) + 1,

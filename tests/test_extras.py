@@ -115,3 +115,35 @@ def test_trainer_profile_flag(tmp_path):
     t = Trainer(args)
     t.train()
     assert os.path.isdir(prof_dir) and os.listdir(prof_dir)
+
+
+def test_resume_reproduces_straight_run(tmp_path):
+    """Training 2 epochs + resuming for 2 more must reproduce a straight
+    4-epoch run: per-epoch RNG is fold_in(train_key, epoch) and the optimizer
+    state (incl. LR-schedule count) is checkpointed."""
+    from monoloco_tpu.train import Trainer
+
+    def make_args(epochs, out, resume=None):
+        return argparse.Namespace(
+            joints=JOINTS, mode='mono', out=out, epochs=epochs, bs=128,
+            dropout=0.2, lr=0.002, sched_step=5, sched_gamma=0.9,
+            hidden_size=64, n_stage=2, r_seed=3, auto_tune_mtl=False,
+            no_save=False, print_loss=False, resume=resume)
+
+    # Straight 4-epoch run.
+    t_a = Trainer(make_args(4, str(tmp_path / 'a.pkl')))
+    t_a.train()
+    v_a = np.asarray(t_a._val_metrics(t_a.params, t_a.log_sigmas, t_a.bn_state,
+                                      t_a.x_va, t_a.y_va))
+
+    # 2 epochs, checkpoint, resume 2 more.
+    t_b1 = Trainer(make_args(2, str(tmp_path / 'b1.pkl')))
+    t_b1.train()
+    t_b1.evaluate()
+    t_b2 = Trainer(make_args(4, str(tmp_path / 'b2.pkl'),
+                             resume=str(tmp_path / 'b1.pkl')))
+    assert t_b2.start_epoch == 2
+    t_b2.train()
+    v_b = np.asarray(t_b2._val_metrics(t_b2.params, t_b2.log_sigmas, t_b2.bn_state,
+                                       t_b2.x_va, t_b2.y_va))
+    np.testing.assert_allclose(v_a, v_b, rtol=1e-4, atol=1e-4)
