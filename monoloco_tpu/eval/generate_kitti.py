@@ -76,6 +76,12 @@ class GenerateKitti:
                 make_new_directory(d)
                 dir_out[name] = d
 
+        # Monocular generation without baselines: run whole image batches as
+        # single device programs (engine.forward_batch) instead of one
+        # dispatch per image.
+        if self.net == 'monoloco_pp' and not self.baselines['mono']:
+            return self._run_batched(dir_out)
+
         for basename in self.set_basename:
             path_calib = os.path.join(self.dir_kk, basename + '.txt')
             annotations, kk, tt = factory_file(path_calib, self.dir_ann, basename)
@@ -135,6 +141,43 @@ class GenerateKitti:
                 ratio = self.cnt_disparity[key] / max(cnt_ann, 1) * 100
                 print(f"Annotations corrected using {key} baseline: {ratio:.1f}%")
             print(f"Not found {self.cnt_no_stereo}/{cnt_file} stereo files")
+        if self.generate_official:
+            create_empty_files(dir_out, self.net)
+
+    def _run_batched(self, dir_out, chunk=64):
+        """Batched monocular generation: load all annotations, forward whole
+        image chunks in one program each, then write the txts."""
+        cnt_ann = cnt_file = cnt_no_file = 0
+        loaded = []
+        for basename in self.set_basename:
+            path_calib = os.path.join(self.dir_kk, basename + '.txt')
+            annotations, kk, tt = factory_file(path_calib, self.dir_ann, basename)
+            boxes, keypoints = preprocess_pifpaf(annotations, im_size=(1242, 374))
+            cat = get_category(keypoints, os.path.join(self.dir_byc, basename + '.json'))
+            if not keypoints:
+                cnt_no_file += 1
+                continue
+            loaded.append((basename, boxes, keypoints, kk, tt, cat))
+
+        for start in range(0, len(loaded), chunk):
+            batch = loaded[start:start + chunk]
+            outs = self.model.forward_batch([b[2] for b in batch],
+                                            [b[3] for b in batch])
+            for (basename, boxes, keypoints, kk, tt, cat), dic_out in zip(batch, outs):
+                if dic_out is None:
+                    continue
+                dic_out['epi'] = [0.] * len(boxes)
+                all_outputs = [dic_out['xyzd'], dic_out['bi'], dic_out['epi'],
+                               dic_out['yaw'], dic_out['h'], dic_out['w'],
+                               dic_out['l']]
+                path_txt = os.path.join(dir_out[self.net], basename + '.txt')
+                save_txts(path_txt, boxes, all_outputs, [kk, tt],
+                          net=self.net, cat=cat)
+                cnt_ann += len(boxes)
+                cnt_file += 1
+
+        print(f"\nSaved in {cnt_file} txt {cnt_ann} annotations. "
+              f"Not found {cnt_no_file} images")
         if self.generate_official:
             create_empty_files(dir_out, self.net)
 

@@ -240,6 +240,78 @@ class Loco:
         return dic_out
 
     # ------------------------------------------------------------------
+    # Batched multi-image serving (no reference counterpart: the reference
+    # loops images on the host; here a whole image batch with per-image
+    # calibration is ONE device program via vmap)
+    # ------------------------------------------------------------------
+
+    def _batch_program(self):
+        net = self.net
+        arch = self.arch
+
+        def per_image(folded, kps, kk):
+            inputs = preprocess_monoloco(kps, kk)
+            return inputs
+
+        def program(folded, kps_batch, kk_batch):
+            with jax.default_matmul_precision(_MATMUL_PRECISION):
+                inputs = jax.vmap(lambda kp, kk: per_image(folded, kp, kk))(
+                    kps_batch, kk_batch)                 # (B, M, 34)
+                b, m_max, feat = inputs.shape
+                raw = _mlp_forward(folded, inputs.reshape(b * m_max, feat), arch)
+                if net == 'monoloco_p':
+                    return extract_outputs_mono(raw)
+                return extract_outputs(raw)
+
+        return jax.jit(program)
+
+    def forward_batch(self, keypoints_list, kk_list):
+        """Run many images in one device program.
+
+        keypoints_list: per-image (m_i, 3, 17) arrays; kk_list: per-image 3x3
+        intrinsics. Returns a list of per-image output dicts identical to
+        `forward`'s. Images pad to a shared detection bucket, so any mix of
+        crowd sizes reuses one compiled program per (batch-bucket, m-bucket).
+        """
+        assert self.net in ('monoloco_pp', 'monoloco_p'), \
+            "forward_batch supports the monocular nets"
+        counts = [0 if k is None else len(k) for k in keypoints_list]
+        n_img = len(keypoints_list)
+        if n_img == 0:
+            return []
+        m_bucket = _bucket(max(max(counts), 1))
+        b_bucket = _bucket(n_img, minimum=1)
+        kps = np.zeros((b_bucket, m_bucket, 3, 17), np.float32)
+        kks = np.zeros((b_bucket, 3, 3), np.float32)
+        kks[:] = np.eye(3)
+        for i, (k, kk) in enumerate(zip(keypoints_list, kk_list)):
+            if counts[i]:
+                kps[i, :counts[i]] = np.asarray(k, np.float32)
+            kks[i] = np.asarray(kk, np.float32)
+
+        if 'batch' not in self._infer_cache:
+            self._infer_cache['batch'] = self._batch_program()
+        dic = jax.device_get(self._infer_cache['batch'](
+            self.folded, jnp.asarray(kps), jnp.asarray(kks)))
+
+        outs = []
+        for i in range(n_img):
+            m = counts[i]
+            if m == 0:
+                outs.append(None)
+                continue
+            sl = slice(i * m_bucket, i * m_bucket + m)
+            dic_i = {}
+            for key, v in dic.items():
+                if key == 'yaw':
+                    dic_i['yaw'] = (np.asarray(v[0])[sl], np.asarray(v[1])[sl])
+                else:
+                    dic_i[key] = np.asarray(v)[sl]
+            dic_i['epi'] = [0.] * m
+            outs.append(dic_i)
+        return outs
+
+    # ------------------------------------------------------------------
     # Host-side post-processing (numpy; mirrors reference net.py:163-248)
     # ------------------------------------------------------------------
 

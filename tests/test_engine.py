@@ -147,3 +147,25 @@ class TestCheckpointServing:
         net = Loco(path, mode='mono', linear_size=64, n_stage=2)
         dic = net.forward(_keypoints(2), KK)
         assert dic['d'].shape == (2, 1)
+
+
+class TestForwardBatch:
+    def test_matches_per_image_forward(self, mono_net):
+        kps_list = [_keypoints(3, seed=1), _keypoints(7, seed=2), _keypoints(1, seed=3)]
+        kk2 = [[700., 0., 590.], [0., 700., 170.], [0., 0., 1.]]
+        kks = [KK, kk2, KK]
+        batch_out = mono_net.forward_batch(kps_list, kks)
+        for kps, kk, out_b in zip(kps_list, kks, batch_out):
+            out_s = mono_net.forward(kps, kk)
+            np.testing.assert_allclose(np.asarray(out_b['d']),
+                                       np.asarray(out_s['d']), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(out_b['xyzd']),
+                                       np.asarray(out_s['xyzd']), atol=1e-4)
+
+    def test_empty_image_in_batch(self, mono_net):
+        outs = mono_net.forward_batch([_keypoints(2), []], [KK, KK])
+        assert outs[0]['d'].shape == (2, 1)
+        assert outs[1] is None
+
+    def test_empty_batch(self, mono_net):
+        assert mono_net.forward_batch([], []) == []
