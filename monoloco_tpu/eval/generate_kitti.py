@@ -76,10 +76,11 @@ class GenerateKitti:
                 make_new_directory(d)
                 dir_out[name] = d
 
-        # Monocular generation without baselines: run whole image batches as
-        # single device programs (engine.forward_batch) instead of one
-        # dispatch per image.
-        if self.net == 'monoloco_pp' and not self.baselines['mono']:
+        # Monocular generation without baselines or MC-dropout: run whole image
+        # batches as single device programs (engine.forward_batch) instead of
+        # one dispatch per image. (MC-dropout epi needs the per-image path.)
+        if (self.net == 'monoloco_pp' and not self.baselines['mono']
+                and self.model.n_dropout == 0):
             return self._run_batched(dir_out)
 
         for basename in self.set_basename:

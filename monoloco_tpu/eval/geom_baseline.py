@@ -21,30 +21,36 @@ AVERAGE_Y = 0.48
 CLUSTERS = ['10', '20', '30', 'all']
 
 
-def _depth_matrix(x1, y1, x2, y2, cc):
-    """Build the reference's 4x2-relevant system for one person.
-
-    Unknowns (full system has [x, z, 1-scale] structure); we reproduce the
-    exact least-squares solve of geom_baseline.py:133-140 with unknowns
-    (a, z, b): A @ [a, z, b]^T = rhs, returning |z|.
+def _solve_depths(x1, y1, x2, y2, cc):
+    """Batched least-squares depths: one (4x3) system per person, solved with
+    regularized normal equations (the single implementation both the scalar
+    and batched entry points share). Inputs are (m,) arrays; cc scalar or (m,).
     """
+    x1, y1 = np.atleast_1d(np.asarray(x1, np.float64)), np.atleast_1d(np.asarray(y1, np.float64))
+    x2, y2 = np.atleast_1d(np.asarray(x2, np.float64)), np.atleast_1d(np.asarray(y2, np.float64))
+    m = x1.shape[0]
+    cc = np.broadcast_to(np.asarray(cc, np.float64), (m,))
     xx = (x1 + x2) / 2
-    mat = np.array([[y1, 0, -xx],
-                    [0, -y1, 1],
-                    [y2, 0, -xx],
-                    [0, -y2, 1]])
-    rhs = np.array([cc * xx, -cc, 0, 0])
-    sol, *_ = np.linalg.lstsq(mat, rhs, rcond=None)
-    return abs(float(sol[1]))
+    zeros, ones = np.zeros(m), np.ones(m)
+    A = np.stack([
+        np.stack([y1, zeros, -xx], axis=1),
+        np.stack([zeros, -y1, ones], axis=1),
+        np.stack([y2, zeros, -xx], axis=1),
+        np.stack([zeros, -y2, ones], axis=1),
+    ], axis=1)                                  # (m, 4, 3)
+    rhs = np.stack([cc * xx, -cc, zeros, zeros], axis=1)
+    AtA = np.einsum('mij,mik->mjk', A, A)
+    Atb = np.einsum('mij,mi->mj', A, rhs)
+    sols = np.linalg.solve(AtA + 1e-12 * np.eye(3)[None], Atb[..., None])[..., 0]
+    return np.abs(sols[:, 1])
 
 
 def compute_depth(xyz_norm_1, xyz_norm_2, average_y, mode='average', dy_met=0):
     """Depth from two normalized segment endpoints (shoulder & hip rays)."""
     assert mode in ('average', 'real')
-    x1, y1 = float(xyz_norm_1[0]), float(xyz_norm_1[1])
-    x2, y2 = float(xyz_norm_2[0]), float(xyz_norm_2[1])
     cc = -average_y if mode == 'average' else -dy_met
-    return _depth_matrix(x1, y1, x2, y2, cc)
+    return float(_solve_depths(float(xyz_norm_1[0]), float(xyz_norm_1[1]),
+                               float(xyz_norm_2[0]), float(xyz_norm_2[1]), cc)[0])
 
 
 def geometric_coordinates(keypoints, kk, average_y=AVERAGE_Y):
@@ -60,27 +66,9 @@ def geometric_coordinates(keypoints, kk, average_y=AVERAGE_Y):
     xy_hips = np_pixel_to_camera(uv_hips, kk, 1)
     xy_centers = np_pixel_to_camera(uv_centers, kk, 1)
 
-    m = kps.shape[0]
-    x1, y1 = xy_shoulders[:, 0], xy_shoulders[:, 1]
-    x2, y2 = xy_hips[:, 0], xy_hips[:, 1]
-    xx = (x1 + x2) / 2
-    cc = -average_y
-    # Batched A (m, 4, 3) and rhs (m, 4): normal-equation solve per person.
-    zeros = np.zeros(m)
-    ones = np.ones(m)
-    A = np.stack([
-        np.stack([y1, zeros, -xx], axis=1),
-        np.stack([zeros, -y1, ones], axis=1),
-        np.stack([y2, zeros, -xx], axis=1),
-        np.stack([zeros, -y2, ones], axis=1),
-    ], axis=1)
-    rhs = np.stack([cc * xx, -cc * ones, zeros, zeros], axis=1)
-    AtA = np.einsum('mij,mik->mjk', A, A)
-    Atb = np.einsum('mij,mi->mj', A, rhs)
-    # numpy>=2 solves vectors only via an explicit trailing axis
-    sols = np.linalg.solve(AtA + 1e-12 * np.eye(3)[None], Atb[..., None])[..., 0]
-    zzs_geom = [abs(float(z)) for z in sols[:, 1]]
-    return zzs_geom, xy_centers
+    depths = _solve_depths(xy_shoulders[:, 0], xy_shoulders[:, 1],
+                           xy_hips[:, 0], xy_hips[:, 1], -average_y)
+    return [float(z) for z in depths], xy_centers
 
 
 def geometric_baseline(joints):

@@ -15,9 +15,7 @@ import jax.numpy as jnp
 from PIL import Image
 
 from ..geometry.camera import open_image
-
-_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from ..network.preprocess import _IMAGENET_MEAN, _IMAGENET_STD
 
 BLOCKS = (3, 4, 6, 3)
 EXPANSION = 4

@@ -27,16 +27,22 @@ def _load_joints_cached(joints):
     """
     import pickle
     sidecar = joints + '.cache.pkl'
-    if (os.path.exists(sidecar)
-            and os.path.getmtime(sidecar) >= os.path.getmtime(joints)):
+    stat = os.stat(joints)
+    source_id = (stat.st_size, stat.st_mtime_ns)
+    if os.path.exists(sidecar):
         try:
             with open(sidecar, 'rb') as f:
-                return pickle.load(f)
+                cached = pickle.load(f)
+            # Exact size+mtime match: survives cp -p / mv / git checkout of a
+            # different file with an *older* mtime, which a >= check would not.
+            if cached.get('_source_id') == source_id:
+                return cached
         except Exception:
             pass
     with open(joints, 'r') as f:
         dic_jo = json.load(f)
-    cached = {'version': dic_jo.get('version', 'unknown')}
+    cached = {'version': dic_jo.get('version', 'unknown'),
+              '_source_id': source_id}
     for phase in ('train', 'val', 'test'):
         if phase not in dic_jo:
             continue

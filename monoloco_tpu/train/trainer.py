@@ -128,6 +128,13 @@ class Trainer:
             self.params = to_jnp(blob.get('final_params', blob['params']))
             self.bn_state = to_jnp(blob.get('final_bn_state', blob['bn_state']))
             extra = blob.get('meta', {})
+            ckpt_auto = blob.get('log_sigmas') is not None
+            if ckpt_auto != self.auto_tune_mtl:
+                raise ValueError(
+                    "--resume checkpoint was trained with auto_tune_mtl="
+                    f"{ckpt_auto}; pass the matching --auto_tune_mtl setting")
+            if ckpt_auto:
+                self.log_sigmas = jnp.asarray(blob['log_sigmas'])
             if 'opt_state' in blob:
                 self.opt_state = jax.tree_util.tree_map(jnp.asarray, blob['opt_state'])
             self.start_epoch = int(extra.get('epoch', 0))
@@ -343,6 +350,8 @@ class Trainer:
                     np.asarray, getattr(self, 'final_params', self.params)),
                 'final_bn_state': jax.tree_util.tree_map(
                     np.asarray, getattr(self, 'final_bn_state', self.bn_state)),
+                'log_sigmas': (np.asarray(self.log_sigmas)
+                               if self.log_sigmas is not None else None),
                 'meta': {'mode': self.mode, 'tasks': self.tasks,
                          'hidden_size': self.hidden_size, 'n_stage': self.n_stage,
                          'epoch': getattr(self, 'last_epoch', 0) + 1,
@@ -365,22 +374,32 @@ class Trainer:
                 continue
             dic_err[clst][task] += float(loss_values[idx]) * rel_frac
 
-        d_pred = extract_outputs(outputs)['d']
-        d_gt = extract_labels(labels)['d']
-        errs = jnp.abs(d_pred - d_gt)
-        bis = extract_outputs(outputs)['bi']
+        decoded = extract_outputs(outputs)
+        gt = extract_labels(labels)
+        errs = jnp.abs(decoded['d'] - gt['d'])
+        bis = decoded['bi']
         bi = float(jnp.mean(bis))
         bi_perc = float(jnp.sum(errs <= bis)) / errs.shape[0]
         dic_err[clst]['bi'] += bi * rel_frac
         dic_err[clst]['bi%'] += bi_perc * rel_frac
-        dic_err[clst]['std'] = float(jnp.std(errs, ddof=1)) if errs.shape[0] > 1 else 0.0
+        # Streaming moments so the std is correct across VAL_BS chunks
+        # (the reference forbids partial evaluation instead).
+        dic_err[clst]['_n'] += int(errs.shape[0])
+        dic_err[clst]['_sum'] += float(jnp.sum(errs))
+        dic_err[clst]['_sumsq'] += float(jnp.sum(errs ** 2))
+        n = dic_err[clst]['_n']
+        if n > 1:
+            mean = dic_err[clst]['_sum'] / n
+            var = max(0.0, (dic_err[clst]['_sumsq'] - n * mean * mean) / (n - 1))
+            dic_err[clst]['std'] = var ** 0.5
+        else:
+            dic_err[clst]['std'] = 0.0
 
         if self.mode == 'mono':
             dic_err[clst]['aux'] = 0
         else:
-            aux_prob = extract_outputs(outputs)['aux']
-            aux_gt = extract_labels(labels)['aux']
-            acc_aux = 1.0 - float(jnp.mean(jnp.abs((aux_prob >= 0.5).astype(jnp.float32) - aux_gt)))
+            acc_aux = 1.0 - float(jnp.mean(
+                jnp.abs((decoded['aux'] >= 0.5).astype(jnp.float32) - gt['aux'])))
             dic_err[clst]['aux'] += acc_aux * rel_frac
         _ = tasks_no_aux
 
