@@ -245,11 +245,8 @@ static vector<Pt> convex_clip(vector<Pt> subject, const vector<Pt> &clip) {
         double a2 = (Q.x - P.x), b2 = (Q.y - P.y);
         double denom = a1 * b2 - a2 * b1;
         if (std::fabs(denom) > 1e-12) {
-          double t = ((P.x - A.x) * b1 - (P.y - A.y) * a1) / -denom;
-          // Solve P + t*(Q-P) on line AB.
-          double s_num = (P.x - A.x) * b2 - (P.y - A.y) * a2;
-          double s = s_num / denom;
-          (void)t;
+          // Parameter along AB of the PQ/AB intersection point.
+          double s = ((P.x - A.x) * b2 - (P.y - A.y) * a2) / denom;
           Pt X{A.x + s * a1, A.y + s * b1};
           out.push_back(X);
         }

@@ -15,6 +15,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .loco import _stack
+
 FORMAT_TAG = 'monoloco_tpu-v1'
 
 
@@ -63,10 +65,6 @@ def _bn(sd, prefix):
         {'scale': jnp.asarray(sd[prefix + '.weight']), 'bias': jnp.asarray(sd[prefix + '.bias'])},
         {'mean': jnp.asarray(sd[prefix + '.running_mean']), 'var': jnp.asarray(sd[prefix + '.running_var'])},
     )
-
-
-def _stack(trees):
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
 
 
 def convert_torch_state_dict(sd, arch='loco'):

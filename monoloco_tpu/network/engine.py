@@ -345,6 +345,9 @@ class Loco:
 
         all_idxs = [idx for idx, _ in matches] + not_matches
         dic_out['gt'] = [True] * len(matches) + [False] * len(not_matches)
+        # Original annotation index of each output row, so downstream consumers
+        # (e.g. skeleton coloring) can map back to pifpaf annotation order.
+        dic_out['indices'] = [int(i) for i in all_idxs]
 
         kps_np = np.asarray(keypoints, np.float32)
         uv_shoulders = np_get_keypoints(kps_np, 'shoulder')

@@ -303,8 +303,9 @@ class PreprocessKitti:
         for name in self.set_val:
             path_gt = os.path.join(dir_gt, name)
             _, ys, _, _, lines = parse_ground_truth(path_gt, category, spherical=False)
-            angles = [y[10] for y in ys]
-            dds = [y[4] for y in ys]
+            # Cartesian labels: [x, y, z, dd, h, w, l, sin, cos, yaw, cat]
+            angles = [y[9] for y in ys]
+            dds = [y[3] for y in ys]
             xz_centers = [[y[0], y[2]] for y in ys]
 
             path_out = os.path.join(dir_out, name)

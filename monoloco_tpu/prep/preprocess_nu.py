@@ -164,6 +164,7 @@ class PreprocessNuscenes:
                         self.dic_jo[phase]['Y'].append(lab)
                         self.dic_jo[phase]['names'].append(name)
                         self.dic_jo[phase]['boxes_3d'].append(boxes_3d[idx_gt])
+                        self.dic_jo[phase]['K'].append(kk)
                         append_cluster(self.dic_jo, phase, inp, lab, keypoint)
                         cnt_ann += 1
                         sys.stdout.write(f'\rSaved annotations {cnt_ann}\t')

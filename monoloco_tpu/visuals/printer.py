@@ -33,7 +33,8 @@ def draw_orientation(ax, centers, sizes, angles, colors, mode='front'):
             length = sizes[idx] if idx < len(sizes) else 20
             x, y = centers[idx][0], centers[idx][1]
             dx = length * math.cos(theta)
-            dy = -length * math.sin(theta)
+            # Image y grows downward; the reference uses +sin here.
+            dy = length * math.sin(theta)
             ax.add_patch(FancyArrow(x, y, dx, dy, head_width=max(2, length / 4),
                                     color=color))
         else:
@@ -89,12 +90,19 @@ class Printer:
             self.modes = ['stereo' if a > 0.3 else 'mono' for a in auxs]
         else:
             self.modes = ['mono'] * len(self.dds)
+        self.dds_real = dic_ann.get('dds_real', [])
         if self.z_max > 99 and self.dds:
-            self.z_max = int(min(self.z_max, 4 + max(self.dds)))
+            # Include gt distances so far-away gt markers stay visible.
+            self.z_max = int(min(self.z_max,
+                                 4 + max(max(self.dds),
+                                         max(self.dds_real, default=0))))
         colors = ['deepskyblue'] * len(self.dds)
         if 'social_distance' in (self.activities or []):
             colors = social_distance_colors(colors, dic_ann)
         self.colors = colors
+        # Colors follow dic_out (post_process-reordered) order; map them back
+        # to pifpaf annotation order for skeleton painting.
+        self.indices = dic_ann.get('indices', list(range(len(self.dds))))
 
     # ------------------------------------------------------------------
 
@@ -148,6 +156,9 @@ class Printer:
 
     # ------------------------------------------------------------------
 
+    # When False (webcam live view), figures stay open for the caller to show.
+    close_on_draw = True
+
     def draw(self, figures, axes, image, dic_out, annotations=None):
         for ax in axes:
             if getattr(ax, 'front', False):
@@ -158,15 +169,24 @@ class Printer:
             for fig, suffix in zip(figures, self._fig_suffixes):
                 fig.savefig(self.output_path + suffix, bbox_inches='tight')
                 print(f'Image saved: {self.output_path + suffix}')
+        elif self.show:
+            plt.show(block=False)
+        if self.close_on_draw:
+            for fig in figures:
                 plt.close(fig)
 
     def _draw_front(self, ax, image, dic_out, annotations):
         ax.imshow(image)
         if annotations:
             kps, _ = get_pifpaf_outputs(annotations)
+            n_ann = len(annotations)
+            colors_ann = ['deepskyblue'] * n_ann
+            for pos, ann_idx in enumerate(self.indices):
+                if pos < len(self.colors) and ann_idx < n_ann:
+                    colors_ann[ann_idx] = self.colors[pos]
             painter = KeypointPainter(show_box=False, linewidth=2)
             painter.keypoints(ax, kps, activities=self.activities,
-                              dic_out=dic_out, colors=self.colors)
+                              dic_out=dic_out, colors=colors_ann)
         for idx, box in enumerate(self.boxes):
             if idx >= len(self.dds):
                 break

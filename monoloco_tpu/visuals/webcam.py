@@ -86,6 +86,7 @@ def webcam(args):
         visualizer = Printer(pil_image, output_path=f'out_webcam_{frame_idx}',
                              kk=kk, args=args)
         visualizer.save = not interactive
+        visualizer.close_on_draw = not interactive  # keep figures for plt.pause
         figures, axes = visualizer.factory_axes(dic_out)
         visualizer.draw(figures, axes, pil_image, dic_out, annotations=annotations)
         if interactive:

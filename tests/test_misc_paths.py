@@ -85,3 +85,27 @@ def test_predict_json_output_flag(tmp_path, monkeypatch):
     with open(out) as f:
         anns = json.load(f)
     assert len(anns) == 16
+
+
+def test_process_activity_with_close_pair(tmp_path, monkeypatch):
+    """Regression: two pedestrians within 2 m exercise the f-formation branch
+    of the social-distance gt augmentation (label indices yaw=9, dd=3)."""
+    import numpy as np
+    from make_synthetic_kitti import write_scene
+    rng = np.random.RandomState(0)
+    # Facing each other along x (facing dir is (cos ry, -sin ry) in x-z),
+    # 1.2 m apart -> inside THRESHOLD_DIST.
+    people = [(-0.6, 8.0, 0.0), (0.6, 8.0, 3.1), (5.0, 20.0, 0.0)]
+    name = write_scene(str(tmp_path), 1, people, rng)
+    name_tr = write_scene(str(tmp_path), 2, [(2.0, 12.0, 0.3)], rng)
+    (tmp_path / 'splits').mkdir()
+    (tmp_path / 'splits' / 'kitti_train.txt').write_text(name_tr + '\n')
+    (tmp_path / 'splits' / 'kitti_val.txt').write_text(name + '\n')
+    monkeypatch.chdir(tmp_path)
+    from monoloco_tpu.prep import PreprocessKitti
+    prep = PreprocessKitti(dir_ann='annotations', mode='mono', iou_min=0.3)
+    prep.process_activity()
+    out = (tmp_path / 'data' / 'kitti' / 'gt_activity' / (name + '.txt')).read_text()
+    flags = [line.split()[-1] for line in out.strip().splitlines()]
+    assert set(flags) <= {'0', '1'}
+    assert '1' in flags  # the close, facing pair is a positive
