@@ -55,7 +55,10 @@ def main():
         def body(carry, _):
             kps = keypoints + carry * 1e-9
             xyzd, bi, yaw, h, w, l = serve_once(folded, kps, kk)
-            return jnp.float32(xyzd[0, 3]), (xyzd.sum() + bi.sum())
+            # Consume every decoded output so nothing can be dead-code-eliminated.
+            total = (xyzd.sum() + bi.sum() + yaw.sum() + h.sum() + w.sum()
+                     + l.sum())
+            return jnp.float32(xyzd[0, 3]), total
 
         carry, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=SCAN_ITERS)
         return carry + sums.sum()

@@ -65,10 +65,18 @@ def _pifpaf_available():
         return False
 
 
+_PIFPAF_PREDICTOR = {}
+
+
 def run_pifpaf(image_paths, checkpoint=None, batch_size=1):
-    """Run OpenPifPaf on images; yields (path, annotations_json) per image."""
+    """Run OpenPifPaf on images; yields (path, annotations_json) per image.
+
+    The Predictor (a full CNN checkpoint load) is cached per checkpoint so
+    multi-image runs pay the load once."""
     import openpifpaf
-    predictor = openpifpaf.Predictor(checkpoint=checkpoint)
+    if checkpoint not in _PIFPAF_PREDICTOR:
+        _PIFPAF_PREDICTOR[checkpoint] = openpifpaf.Predictor(checkpoint=checkpoint)
+    predictor = _PIFPAF_PREDICTOR[checkpoint]
     for pred, _, meta in predictor.images(image_paths, batch_size=batch_size):
         yield meta['file_name'], [ann.json_data() for ann in pred]
 
@@ -94,7 +102,12 @@ def factory_from_args(args):
     if args.path_gt is None:
         args.show_all = True
     if not args.output_types and args.mode != 'keypoints':
-        args.output_types = ['multi']
+        # Activity rendering draws front/bird views (show_activities).
+        args.output_types = ['front', 'bird'] if args.activities else ['multi']
+    if args.activities and not any(x in args.output_types
+                                   for x in ('front', 'bird', 'json')):
+        raise SystemExit("--activities outputs render as front/bird views (or "
+                         "json): pass --output_types front bird [json]")
     if args.mode == 'stereo':
         args.images = sorted(args.images)
         assert len(args.images) % 2 == 0, "Odd number of images in a stereo setting"
@@ -180,7 +193,7 @@ def predict(args):
 
     if timing:
         timing_arr = np.array(timing)
-        print(f'Processed {cnt} images with an average time of '
+        print(f'Processed {cnt * step} images with an average time of '
               f'{int(timing_arr.mean())} ms and a std of {int(timing_arr.std())} ms')
 
 

@@ -63,8 +63,8 @@ def cli():
                                 help='concordance for samples')
     predict_parser.add_argument('--threshold_dist', type=float, default=2.5,
                                 help='min distance of people')
-    predict_parser.add_argument('--radii', type=tuple, default=(0.3, 0.5, 1),
-                                help='o-space radii')
+    predict_parser.add_argument('--radii', nargs='+', type=float,
+                                default=(0.3, 0.5, 1), help='o-space radii')
 
     # Preprocess
     prep_parser.add_argument('--dir_ann', required=True,
@@ -189,7 +189,12 @@ def main():
             if args.dp_devices > 1:
                 import jax
                 from .parallel import make_mesh
-                args.mesh = make_mesh(jax.devices()[:args.dp_devices])
+                devices = jax.devices()
+                if len(devices) < args.dp_devices:
+                    raise SystemExit(
+                        f"--dp_devices {args.dp_devices} requested but only "
+                        f"{len(devices)} devices are available")
+                args.mesh = make_mesh(devices[:args.dp_devices])
             training = Trainer(args)
             _ = training.train()
             _ = training.evaluate()

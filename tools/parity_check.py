@@ -142,9 +142,10 @@ def main():
     print(f"fixture post dds_pred  max abs err: {dds_diff:.3e}")
     print(f"fixture post confs     max abs err: {conf_diff:.3e}")
     print(f"fixture post xyz_pred  max abs err: {xyz_diff:.3e}")
-    fixture_ok = d_fixture < 1e-3 and dds_diff < 1e-3 and xyz_diff < 1e-2
+    fixture_ok = (d_fixture < 1e-3 and dds_diff < 1e-3 and xyz_diff < 1e-2
+                  and conf_diff < 1e-4)
 
-    ok = (err_eval < 1e-3 and err_train < 1e-3
+    ok = (err_eval < 1e-3 and err_train < 1e-3 and err_fold < 1e-3
           and abs(float(ref_loss) - float(my_loss)) < 1e-3 and fixture_ok)
     print("PARITY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
