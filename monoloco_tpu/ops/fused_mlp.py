@@ -148,7 +148,7 @@ def _fused_call(packed, x, tile, interpret=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),   # baux
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wfin
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bfin
-            pl.BlockSpec(memory_space=pltpu.ANY),    # wstack stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # wstack stays in HBM
         ],
         out_specs=pl.BlockSpec((tile, out_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -153,6 +153,7 @@ def predict(args):
             splits = os.path.split(image_path)
             output_path = os.path.join(splits[0], 'out_' + splits[1])
         else:
+            os.makedirs(args.output_directory, exist_ok=True)
             output_path = os.path.join(args.output_directory, 'out_' + im_name)
         print(f'{cnt} image {im_name} saved as {output_path}')
 

@@ -1,0 +1,307 @@
+"""Coverage for modules previously exercised only indirectly: stereo
+association baselines, ReID feature extractor, joints-variance study,
+3D box projection, median-disparity ablation, image transform, and the
+nuScenes category helper."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BF = 0.54 * 721
+
+
+def _make_pose(cx, cy, spread=20.0, conf=0.9, seed=0):
+    """A (3, 17) pose centered at (cx, cy) with deterministic joint jitter."""
+    rng = np.random.RandomState(seed)
+    xs = cx + rng.uniform(-spread, spread, 17)
+    ys = cy + rng.uniform(-spread, spread, 17)
+    return np.stack([xs, ys, np.full(17, conf)])
+
+
+def _shift(pose, disparity, seed=100):
+    """Right-camera view of `pose`: x shifted by `disparity` plus sub-pixel
+    noise (an exactly-constant disparity is degenerate for the IQR fence,
+    whose strict inequalities then reject every joint)."""
+    out = pose.copy()
+    out[0] -= disparity + np.random.RandomState(seed).uniform(-.01, .01, 17)
+    return out
+
+
+class TestStereoBaselines:
+
+    def test_pose_association_recovers_disparity_depth(self):
+        from monoloco_tpu.eval.stereo_baselines import baselines_association
+        z1, z2 = 12.0, 25.0
+        d1, d2 = BF / z1, BF / z2
+        left = np.stack([_make_pose(600, 180, seed=1), _make_pose(300, 200, seed=2)])
+        # Right poses are the same joints shifted left by the true disparity,
+        # listed in swapped order to force a real association step.
+        right = np.stack([_shift(left[1], d2, seed=101), _shift(left[0], d1, seed=102)])
+        zzs = [11.0, 26.0]  # mono estimates, close but not exact
+        zz_st, cnt = baselines_association(['pose'], zzs, left, right, None)
+        assert cnt['pose'] == 2 and cnt['max'] == 2
+        np.testing.assert_allclose(zz_st['pose'], [z1, z2], rtol=1e-3)
+
+    def test_out_of_range_depth_falls_back_to_mono(self):
+        from monoloco_tpu.eval.stereo_baselines import baselines_association
+        left = _make_pose(600, 180, seed=3)[None]
+        right = _shift(left[0], BF / 100.0, seed=103)[None]  # z=100 > 80 gate
+        zz_st, cnt = baselines_association(['pose'], [40.0], left, right, None)
+        assert cnt['pose'] == 0
+        assert zz_st['pose'] == [40.0]
+
+    def test_reid_association_uses_feature_distance(self):
+        from monoloco_tpu.eval.stereo_baselines import baselines_association
+        z1, z2 = 8.0, 30.0
+        left = np.stack([_make_pose(700, 170, seed=4), _make_pose(200, 210, seed=5)])
+        right = np.stack([_shift(left[1], BF / z2, seed=104),
+                          _shift(left[0], BF / z1, seed=105)])
+        feats_l = np.eye(2, 8)          # person identity as orthogonal features
+        feats_r = feats_l[::-1].copy()  # swapped order matches the right image
+        zz_st, cnt = baselines_association(
+            ['reid'], [9.0, 29.0], left, right, (feats_l, feats_r))
+        assert cnt['reid'] == 2
+        np.testing.assert_allclose(zz_st['reid'], [z1, z2], rtol=1e-3)
+
+    def test_ml_stereo_uses_expected_disparity(self):
+        from monoloco_tpu.eval.stereo_baselines import baselines_association
+        z = 15.0
+        left = _make_pose(500, 190, seed=6)[None]
+        right = _shift(left[0], BF / z, seed=106)[None]
+        zz_st, cnt = baselines_association(['ml_stereo'], [z], left, right, None)
+        assert cnt['ml_stereo'] == 1
+        np.testing.assert_allclose(zz_st['ml_stereo'], [z], rtol=1e-3)
+
+
+class TestMedianDisparity:
+
+    def test_replaces_depth_for_confident_aux(self):
+        from monoloco_tpu.network.engine import median_disparity
+        z_true = 10.0
+        left = _make_pose(640, 160, seed=7)[None]
+        right = _shift(left[0], BF / z_true, seed=107)[None]
+        dic_out = {
+            'xyzd': np.array([[1.0, 0.5, 14.0, 14.04]]),
+            'aux': np.array([0.9]),
+        }
+        out = median_disparity(dic_out, left, right, mask=np.array([[1.0]]))
+        assert out['xyzd'][0, 2] == pytest.approx(z_true, rel=1e-3)
+        assert out['xyzd'][0, 3] == pytest.approx(
+            np.linalg.norm([1.0, 0.5, z_true]), rel=1e-3)
+
+    def test_low_aux_keeps_network_depth(self):
+        from monoloco_tpu.network.engine import median_disparity
+        left = _make_pose(640, 160, seed=8)[None]
+        right = _shift(left[0], BF / 10.0, seed=108)[None]
+        dic_out = {'xyzd': np.array([[0.0, 0.0, 14.0, 14.0]]),
+                   'aux': np.array([0.1])}
+        out = median_disparity(dic_out, left, right, mask=np.array([[1.0]]))
+        assert out['xyzd'][0, 2] == pytest.approx(14.0)
+
+
+class TestBox3D:
+
+    def test_center_projection_golden(self):
+        from monoloco_tpu.visuals.plot_3d_box import compute_box_3d, project_8p_to_4p
+        kk = np.array([[718.0, 0.0, 600.0], [0.0, 718.0, 180.0], [0.0, 0.0, 1.0]])
+        hwl, xyz, ry = [1.8, 0.6, 0.8], [2.0, 1.0, 10.0], 0.0
+        corners_2d, corners_3d = compute_box_3d(hwl, xyz, ry, kk)
+        assert corners_2d.shape == (8, 2) and corners_3d.shape == (8, 3)
+        # Unrotated box: 3D corners are xyz ± the half extents (y spans [-h, 0]).
+        np.testing.assert_allclose(sorted(set(np.round(corners_3d[:, 0], 6))),
+                                   [2.0 - 0.4, 2.0 + 0.4])
+        np.testing.assert_allclose(sorted(set(np.round(corners_3d[:, 1], 6))),
+                                   [1.0 - 1.8, 1.0])
+        # Each projected corner obeys u = fx*x/z + cx.
+        expect_u = 718.0 * corners_3d[:, 0] / corners_3d[:, 2] + 600.0
+        np.testing.assert_allclose(corners_2d[:, 0], expect_u, rtol=1e-9)
+        box = project_8p_to_4p(corners_2d)
+        assert box[0] < box[2] and box[1] < box[3]
+        assert box == [corners_2d[:, 0].min(), corners_2d[:, 1].min(),
+                       corners_2d[:, 0].max(), corners_2d[:, 1].max()]
+
+    def test_yaw_rotation_changes_footprint(self):
+        from monoloco_tpu.visuals.plot_3d_box import compute_box_3d
+        kk = np.eye(3)
+        _, straight = compute_box_3d([1.8, 0.6, 0.8], [0, 0, 10], 0.0, kk)
+        _, rotated = compute_box_3d([1.8, 0.6, 0.8], [0, 0, 10], np.pi / 2, kk)
+        # 90-degree yaw swaps the l/2 and w/2 extents between x and z.
+        assert straight[:, 0].max() == pytest.approx(0.4)
+        assert rotated[:, 0].max() == pytest.approx(0.3)
+
+    def test_behind_camera_returns_none(self):
+        from monoloco_tpu.visuals.plot_3d_box import compute_box_3d
+        corners_2d, corners_3d = compute_box_3d(
+            [1.8, 0.6, 0.8], [0.0, 0.0, -5.0], 0.3, np.eye(3))
+        assert corners_2d is None and corners_3d.shape == (8, 3)
+
+    def test_draw_box_3d_smoke(self):
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        from monoloco_tpu.visuals.plot_3d_box import compute_box_3d, draw_box_3d
+        kk = np.array([[718.0, 0, 600], [0, 718.0, 180], [0, 0, 1.0]])
+        corners_2d, _ = compute_box_3d([1.8, 0.6, 0.8], [1, 1, 12], 0.5, kk)
+        fig, ax = plt.subplots()
+        draw_box_3d(ax, corners_2d)
+        assert len(ax.lines) == 12
+        draw_box_3d(ax, None)  # no-op
+        assert len(ax.lines) == 12
+        plt.close(fig)
+
+
+class TestVarianceStudy:
+
+    def test_joints_variance_on_stereo_fixture(self, tmp_path, monkeypatch):
+        from monoloco_tpu.eval.eval_variance import joints_variance
+        src = os.path.join(HERE, 'fixture_joints-kitti-stereo.json')
+        with open(src) as f:
+            dic = json.load(f)
+        with open(tmp_path / 'joints_pifpaf.json', 'w') as f:
+            json.dump(dic, f)
+        monkeypatch.chdir(tmp_path)
+        out = joints_variance(str(tmp_path / 'joints'), phase='train')
+        assert 'pifpaf' in out and 'mask' not in out
+        stats = out['pifpaf']
+        for key in ('std_d', 'mean_dev', 'mean_8', 'rep', 'conf'):
+            assert key in stats and len(stats[key]) > 0, key
+        # repeatability is a rate, deviations are capped at 30 m
+        assert all(0.0 <= v <= 1.0 for v in stats['rep'].values())
+        assert all(0.0 <= v <= 30.0 for v in stats['mean_dev'].values())
+        assert len(stats['joints']) == 17
+        assert (tmp_path / 'figures' / 'joints_variance.png').exists()
+
+    def test_get_variance_prefers_confident_joints(self):
+        from monoloco_tpu.eval.eval_variance import get_variance, get_variance_conf
+        kps = np.zeros((3, 17))
+        kps_r = np.zeros((3, 17))
+        kps[0] = np.arange(17, dtype=float)          # disparities 0..16 after diff
+        kps[2] = 0.9
+        kps_r[2] = 0.9
+        sel = get_variance(kps, kps_r, zz=10.0)      # threshold 0.4 < 0.9
+        assert sel.shape == (3,)
+        assert 16.0 not in sel                       # largest disparity skipped
+        kps[2, :8] = 0.99
+        kps_r[2, :8] = 0.99
+        top = get_variance_conf(kps, kps_r, num=8)
+        np.testing.assert_array_equal(np.sort(top), np.arange(8, dtype=float))
+
+
+class TestImageTransform:
+
+    def test_chw_and_imagenet_normalization(self):
+        from PIL import Image
+        from monoloco_tpu.network.preprocess import image_transform
+        arr = np.zeros((4, 6, 3), np.uint8)
+        arr[..., 0] = 124  # ~0.485*255 -> ~0 after normalization
+        im = Image.fromarray(arr)
+        out = image_transform(im)
+        assert out.shape == (3, 4, 6)
+        assert abs(out[0].mean()) < 0.02
+        # channel 2 (blue=0): (0 - 0.406) / 0.225
+        assert out[2].mean() == pytest.approx(-0.406 / 0.225, rel=1e-4)
+
+
+def test_select_categories():
+    from monoloco_tpu.utils.nuscenes import select_categories
+    assert select_categories('person') == ['human.pedestrian']
+    assert select_categories('car') == ['vehicle.car']
+    assert select_categories('cyclist') == ['vehicle.bicycle']
+    assert 'vehicle.motorcycle' in select_categories('all')
+    with pytest.raises(AssertionError):
+        select_categories('dog')
+
+
+class TestReID:
+
+    def test_fold_conv_bn_matches_unfused(self):
+        """Folded conv == conv -> eval BatchNorm, numerically."""
+        import jax
+        import jax.numpy as jnp
+        from monoloco_tpu.eval.reid_baseline import _fold_conv_bn, _conv
+        rng = np.random.RandomState(0)
+        w_oihw = rng.randn(5, 3, 3, 3).astype(np.float32)  # (O, I, H, W)
+        bn = {'weight': rng.rand(5).astype(np.float32) + 0.5,
+              'bias': rng.randn(5).astype(np.float32),
+              'running_mean': rng.randn(5).astype(np.float32),
+              'running_var': rng.rand(5).astype(np.float32) + 0.1}
+        folded = _fold_conv_bn(w_oihw, bn)
+        x = jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32))
+        y_folded = _conv(x, folded['w']) + folded['b']
+        w_hwio = jnp.asarray(np.transpose(w_oihw, (2, 3, 1, 0)))
+        y_raw = _conv(x, w_hwio)
+        scale = bn['weight'] / np.sqrt(bn['running_var'] + 1e-5)
+        y_bn = y_raw * scale + (bn['bias'] - bn['running_mean'] * scale)
+        np.testing.assert_allclose(np.asarray(y_folded), np.asarray(y_bn),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_convert_torch_state_dict_both_namings(self):
+        """A synthetic torchvision-layout state dict (and its 'base.'-prefixed
+        nn.Sequential variant) converts to the same folded pytree."""
+        from monoloco_tpu.eval.reid_baseline import convert_torch_resnet50, BLOCKS
+        rng = np.random.RandomState(1)
+
+        def bn_entries(prefix, c, sd):
+            sd[f'{prefix}.weight'] = rng.rand(c).astype(np.float32) + 0.5
+            sd[f'{prefix}.bias'] = rng.randn(c).astype(np.float32)
+            sd[f'{prefix}.running_mean'] = rng.randn(c).astype(np.float32)
+            sd[f'{prefix}.running_var'] = rng.rand(c).astype(np.float32) + 0.1
+
+        sd = {}
+        sd['conv1.weight'] = rng.randn(64, 3, 7, 7).astype(np.float32)
+        bn_entries('bn1', 64, sd)
+        cin = 64
+        for li, n_blocks in enumerate(BLOCKS):
+            width = 64 * 2 ** li
+            for bi in range(n_blocks):
+                pre = f'layer{li + 1}.{bi}'
+                sd[f'{pre}.conv1.weight'] = rng.randn(width, cin, 1, 1).astype(np.float32)
+                bn_entries(f'{pre}.bn1', width, sd)
+                sd[f'{pre}.conv2.weight'] = rng.randn(width, width, 3, 3).astype(np.float32)
+                bn_entries(f'{pre}.bn2', width, sd)
+                sd[f'{pre}.conv3.weight'] = rng.randn(width * 4, width, 1, 1).astype(np.float32)
+                bn_entries(f'{pre}.bn3', width * 4, sd)
+                if bi == 0:
+                    sd[f'{pre}.downsample.0.weight'] = \
+                        rng.randn(width * 4, cin, 1, 1).astype(np.float32)
+                    bn_entries(f'{pre}.downsample.1', width * 4, sd)
+                cin = width * 4
+        params = convert_torch_resnet50(sd)
+        assert params['conv1']['w'].shape == (7, 7, 3, 64)
+        assert len(params['layer3']) == 6
+        assert 'down' in params['layer2'][0] and 'down' not in params['layer2'][1]
+
+        # 'base.'-prefixed Sequential naming (0=conv1, 1=bn1, 4..7=layers).
+        remap = {'conv1': '0', 'bn1': '1', 'layer1': '4', 'layer2': '5',
+                 'layer3': '6', 'layer4': '7'}
+        sd_seq = {}
+        for k, v in sd.items():
+            head, rest = k.split('.', 1)
+            sd_seq[f'base.{remap[head]}.{rest}'] = v
+        params_seq = convert_torch_resnet50(sd_seq)
+        np.testing.assert_array_equal(np.asarray(params['layer4'][2]['conv3']['w']),
+                                      np.asarray(params_seq['layer4'][2]['conv3']['w']))
+
+    def test_reid_forward_and_crop_features(self, tmp_path):
+        """Random-init ReID embeds PIL crops to (n, 2048) through the jitted
+        NHWC program; get_reid_features crops both stereo images."""
+        from PIL import Image
+        from monoloco_tpu.eval.reid_baseline import ReID, get_reid_features
+        reid = ReID(height=32, width=16)  # small crop -> fast CPU compile
+        rng = np.random.RandomState(2)
+        img = Image.fromarray(rng.randint(0, 255, (100, 200, 3), np.uint8))
+        feats = reid.forward([img, img])
+        assert feats.shape == (2, 2048)
+        np.testing.assert_allclose(feats[0], feats[1], rtol=1e-5, atol=1e-5)
+        assert np.all(np.isfinite(feats))
+
+        p_l, p_r = str(tmp_path / 'l.png'), str(tmp_path / 'r.png')
+        img.save(p_l)
+        img.save(p_r)
+        boxes = [[10, 10, 60, 90], [100, 5, 150, 95]]
+        f_l, f_r = get_reid_features(reid, boxes, boxes, p_l, p_r)
+        assert f_l.shape == (2, 2048) and f_r.shape == (2, 2048)
+        np.testing.assert_allclose(f_l, f_r, rtol=1e-5, atol=1e-5)
