@@ -5,6 +5,8 @@ flag-for-flag so existing invocations port directly; additions:
  - predict --json_dir: directory of precomputed pifpaf JSONs (first-class
    keypoint source in this build; openpifpaf remains optional)
  - train --dp_devices: shard the training batch over N chips ('data' mesh)
+ - train --tp_devices: also shard the hidden dim over N chips ('model' mesh
+   axis, Megatron-style column/row-parallel weights; total = dp*tp)
 """
 
 import argparse
@@ -113,6 +115,9 @@ def cli():
                                  action='store_true')
     training_parser.add_argument('--dp_devices', type=int, default=1,
                                  help='shard the batch over N devices (data parallelism)')
+    training_parser.add_argument('--tp_devices', type=int, default=1,
+                                 help='shard the hidden dim over N devices (tensor '
+                                      'parallelism; total devices = dp*tp)')
     training_parser.add_argument('--resume', help='checkpoint to resume training from')
     training_parser.add_argument('--profile', help='directory for jax profiler traces')
 
@@ -186,15 +191,18 @@ def main():
             hyp_tuning.train(args)
         else:
             from .train import Trainer
-            if args.dp_devices > 1:
+            tp = getattr(args, 'tp_devices', 1)
+            if args.dp_devices > 1 or tp > 1:
                 import jax
-                from .parallel import make_mesh
+                from .parallel import make_mesh, make_mesh_2d
                 devices = jax.devices()
-                if len(devices) < args.dp_devices:
+                needed = args.dp_devices * tp
+                if len(devices) < needed:
                     raise SystemExit(
-                        f"--dp_devices {args.dp_devices} requested but only "
-                        f"{len(devices)} devices are available")
-                args.mesh = make_mesh(devices[:args.dp_devices])
+                        f"--dp_devices {args.dp_devices} x --tp_devices {tp} "
+                        f"requested but only {len(devices)} devices are available")
+                args.mesh = (make_mesh_2d(args.dp_devices, tp, devices) if tp > 1
+                             else make_mesh(devices[:args.dp_devices]))
             training = Trainer(args)
             _ = training.train()
             _ = training.evaluate()

@@ -109,3 +109,18 @@ def test_process_activity_with_close_pair(tmp_path, monkeypatch):
     flags = [line.split()[-1] for line in out.strip().splitlines()]
     assert set(flags) <= {'0', '1'}
     assert '1' in flags  # the close, facing pair is a positive
+
+
+def test_eval_variance_cli_dispatch(tmp_path, monkeypatch):
+    """`eval --variance` runs the joints-variance study end to end."""
+    import shutil
+    here = os.path.dirname(os.path.abspath(__file__))
+    shutil.copy(os.path.join(here, 'fixture_joints-kitti-stereo.json'),
+                tmp_path / 'joints_pifpaf.json')
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, 'argv', [
+        'monoloco_tpu.run', 'eval', '--variance',
+        '--joints', str(tmp_path / 'joints')])
+    from monoloco_tpu.run import main
+    main()
+    assert (tmp_path / 'figures' / 'joints_variance.png').exists()

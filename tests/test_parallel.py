@@ -67,3 +67,52 @@ class TestDataParallelTrainer:
         v_single = run(None)
         v_dp = run(make_mesh())
         np.testing.assert_allclose(v_single, v_dp, rtol=2e-3, atol=1e-3)
+
+
+class TestTensorParallel:
+    def test_param_specs_match_model_tree(self):
+        """The TP PartitionSpec trees mirror init_loco_params structurally and
+        shard_by_specs places every leaf on the 2-D mesh as annotated."""
+        from jax.sharding import NamedSharding
+        from monoloco_tpu.models import init_loco_params
+        from monoloco_tpu.parallel import make_mesh_2d, loco_param_specs, shard_by_specs
+
+        params, bn_state = init_loco_params(jax.random.PRNGKey(0), 34, 9, 64, 3)
+        mesh = make_mesh_2d(4, 2)
+        p_spec, bn_spec = loco_param_specs()
+        sp = shard_by_specs(params, mesh, p_spec)
+        sb = shard_by_specs(bn_state, mesh, bn_spec)
+        # column-parallel w1: output features split over 'model'
+        assert sp['w1']['w'].sharding == NamedSharding(mesh, p_spec['w1']['w'])
+        assert sp['w1']['w'].addressable_shards[0].data.shape == (34, 32)
+        # row-parallel head w2: input features split
+        assert sp['w2']['w'].addressable_shards[0].data.shape == (32, 64)
+        # stacked stage weights keep the num_stage axis unsharded
+        assert sp['stages']['w2']['w'].addressable_shards[0].data.shape == (3, 64, 32)
+        assert sb['bn1']['mean'].addressable_shards[0].data.shape == (32,)
+
+    def test_dp_tp_trainer_matches_single_device(self, tmp_path):
+        """A dp4 x tp2 training run reproduces the single-device trajectory
+        (the TP collectives are numerics-preserving)."""
+        from monoloco_tpu.train import Trainer
+        from monoloco_tpu.parallel import make_mesh_2d
+
+        def run(mesh):
+            args = argparse.Namespace(
+                joints=JOINTS, mode='mono', out=str(tmp_path / 'y.pkl'), epochs=2,
+                bs=64, dropout=0.0, lr=0.002, sched_step=30, sched_gamma=0.98,
+                hidden_size=64, n_stage=2, r_seed=1, auto_tune_mtl=False,
+                no_save=True, print_loss=False, mesh=mesh)
+            t = Trainer(args)
+            t.train()
+            v = t._val_metrics(t.params, t.log_sigmas, t.bn_state, t.x_va, t.y_va)
+            return np.asarray(v)
+
+        v_single = run(None)
+        v_tp = run(make_mesh_2d(4, 2))
+        np.testing.assert_allclose(v_single, v_tp, rtol=2e-3, atol=1e-3)
+
+    def test_dryrun_uses_2d_mesh_for_even_counts(self, capsys):
+        import __graft_entry__
+        __graft_entry__.dryrun_multichip(4)
+        assert 'dp2xtp2' in capsys.readouterr().out
