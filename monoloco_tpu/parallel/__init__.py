@@ -7,6 +7,7 @@ from .mesh import (
     constrain_batch,
     loco_param_specs,
     shard_by_specs,
+    constrain_by_specs,
     DATA_AXIS,
     MODEL_AXIS,
 )

@@ -100,11 +100,20 @@ def loco_param_specs(axis=MODEL_AXIS):
     return params_spec, bn_state_spec
 
 
+def _apply_specs(tree, mesh, specs, place):
+    return jax.tree_util.tree_map(
+        lambda x, s: place(x, NamedSharding(mesh, s)), tree, specs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
 def shard_by_specs(tree, mesh, specs):
     """Device-put a pytree with per-leaf PartitionSpecs (same tree structure)."""
-    return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,
-        is_leaf=lambda x: isinstance(x, P))
+    return _apply_specs(tree, mesh, specs, jax.device_put)
+
+
+def constrain_by_specs(tree, mesh, specs):
+    """Inside jit: with_sharding_constraint a pytree by per-leaf PartitionSpecs."""
+    return _apply_specs(tree, mesh, specs, jax.lax.with_sharding_constraint)
 
 
 def data_sharding(mesh, ndim=2, axis=DATA_AXIS):

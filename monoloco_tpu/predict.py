@@ -129,6 +129,9 @@ def predict(args):
         net = Loco(model=args.model, mode=args.mode, net=args.net,
                    n_dropout=args.n_dropout, p_dropout=args.dropout)
 
+    if args.output_directory is not None:
+        os.makedirs(args.output_directory, exist_ok=True)
+
     timing = []
     cnt = 0
     step = 2 if args.mode == 'stereo' else 1
@@ -153,7 +156,6 @@ def predict(args):
             splits = os.path.split(image_path)
             output_path = os.path.join(splits[0], 'out_' + splits[1])
         else:
-            os.makedirs(args.output_directory, exist_ok=True)
             output_path = os.path.join(args.output_directory, 'out_' + im_name)
         print(f'{cnt} image {im_name} saved as {output_path}')
 

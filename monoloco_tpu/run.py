@@ -220,6 +220,7 @@ def main():
             from .eval.geom_baseline import geometric_baseline
             geometric_baseline(args.joints)
         elif args.variance:
+            assert args.joints, "joints argument not provided"
             from .eval.eval_variance import joints_variance
             joints_variance(args.joints, clusters=None, dic_ms=None)
         else:

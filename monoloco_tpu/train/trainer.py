@@ -41,7 +41,7 @@ from .datasets import KeypointsDataset
 from .losses import multitask_loss, composite_losses, LOSS_TASKS_MONO, LOSS_TASKS_STEREO
 from ..models import init_loco_params, loco_forward, count_params
 from ..network.decode import extract_outputs, extract_labels
-from ..parallel import constrain_batch, loco_param_specs, MODEL_AXIS
+from ..parallel import constrain_batch, constrain_by_specs, loco_param_specs, MODEL_AXIS
 from ..utils import set_logger
 
 
@@ -169,12 +169,9 @@ class Trainer:
         def constrain_tp(params, bn_state):
             """Pin the Megatron column/row-parallel layouts on the model so the
             SPMD partitioner shards the hidden dimension over 'model'."""
-            from jax.sharding import NamedSharding
             p_spec, bn_spec = loco_param_specs()
-            put = lambda t, s: jax.tree_util.tree_map(
-                lambda v, sp: jax.lax.with_sharding_constraint(
-                    v, NamedSharding(mesh, sp)), t, s)
-            return put(params, p_spec), put(bn_state, bn_spec)
+            return (constrain_by_specs(params, mesh, p_spec),
+                    constrain_by_specs(bn_state, mesh, bn_spec))
 
         def batch_loss(trainable, bn_state, x, y, mask, rng):
             x = constrain_batch(x, mesh)

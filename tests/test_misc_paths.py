@@ -86,6 +86,13 @@ def test_predict_json_output_flag(tmp_path, monkeypatch):
         anns = json.load(f)
     assert len(anns) == 16
 
+    # regression: a nonexistent -o directory is created before the
+    # --json-output write, not only before the figure/json outputs
+    args.output_directory = str(tmp_path / 'not_yet' / 'deeper')
+    predict(args)
+    assert os.path.exists(os.path.join(args.output_directory,
+                                       'im.png.predictions.json'))
+
 
 def test_process_activity_with_close_pair(tmp_path, monkeypatch):
     """Regression: two pedestrians within 2 m exercise the f-formation branch
