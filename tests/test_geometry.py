@@ -168,3 +168,72 @@ class TestStereo:
         np.testing.assert_allclose(al[0], 50.0)
         np.testing.assert_allclose(ar[0], 40.0)
         assert np.isnan(ar[1])
+
+
+class TestIoUMatchingFuzz:
+    """Randomized cross-validation of the vectorized matchers against literal
+    re-implementations of the reference loops (utils/iou.py:44-83)."""
+
+    @staticmethod
+    def _oracle_greedy(boxes, boxes_gt, iou_min):
+        if not len(boxes) or not len(boxes_gt):
+            return []
+        confs = [b[4] for b in boxes]
+        matches, used = [], []
+        for idx in list(np.argsort(confs))[::-1]:
+            ious = [float(iou_matrix([boxes[idx]], [g])[0, 0]) for g in boxes_gt]
+            j = int(np.argmax(ious))
+            if ious[j] >= iou_min and j not in used:
+                matches.append((int(idx), j))
+                used.append(j)
+        return matches
+
+    @staticmethod
+    def _oracle_global(boxes, boxes_gt, thresh):
+        mat = iou_matrix(boxes, boxes_gt)
+        if not mat.size:
+            return []
+        mat = mat.copy()
+        matches = []
+        while np.max(mat) > thresh:
+            i, j = np.unravel_index(np.argmax(mat), mat.shape)
+            matches.append((int(i), int(j)))
+            mat[i, :] = 0
+            mat[:, j] = 0
+        return matches
+
+    def _random_case(self, rng):
+        m, n = rng.randint(0, 7), rng.randint(0, 6)
+        def boxes(k, conf):
+            out = []
+            for _ in range(k):
+                x1, y1 = rng.rand(2) * 80
+                w, h = rng.rand(2) * 40 + 1
+                b = [x1, y1, x1 + w, y1 + h]
+                if conf:
+                    # quantized confidences force ties through the argsort
+                    b.append(round(float(rng.rand()), 1))
+                out.append(b)
+            return out
+        dets = boxes(m, conf=True)
+        gts = boxes(n, conf=False)
+        if m and n and rng.rand() < 0.5:
+            # plant exact duplicates so perfect-IoU ties occur
+            gts[0] = dets[0][:4]
+            if n > 1:
+                gts[1] = dets[0][:4]
+        return dets, gts
+
+    def test_greedy_matches_oracle_200_cases(self):
+        rng = np.random.RandomState(7)
+        for _ in range(200):
+            dets, gts = self._random_case(rng)
+            assert get_iou_matches(dets, gts, iou_min=0.3) == \
+                self._oracle_greedy(dets, gts, 0.3)
+
+    def test_global_max_matches_oracle_200_cases(self):
+        rng = np.random.RandomState(8)
+        for _ in range(200):
+            dets, gts = self._random_case(rng)
+            assert get_iou_matches_matrix(dets, gts, thresh=0.1) == \
+                self._oracle_global(dets, gts, 0.1)
