@@ -18,6 +18,7 @@ throughput numbers).
 """
 
 import json
+import os
 import statistics
 import time
 
@@ -28,6 +29,9 @@ import jax.numpy as jnp
 BATCH = 131072
 SCAN_ITERS = 16
 TARGET = 50_000.0
+# 'bf16' (default, reported metric), 'f32', or 'int8' (opt-in quantized path,
+# ~0.8% mean decoded-distance deviation — see monoloco_tpu/ops/quant.py).
+PRECISION = os.environ.get('MONOLOCO_TPU_PRECISION', 'bf16')
 
 
 def main():
@@ -37,15 +41,32 @@ def main():
 
     params, bn_state = init_loco_params(jax.random.PRNGKey(0), 34, 9, 1024, 3)
     folded = fold_eval_params(params, bn_state, arch='loco')
-    # Production serving runs the MLP in bfloat16 (decode stays f32); the
-    # induced output noise (~1e-3 absolute) is far inside the ALE parity window.
-    folded = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), folded)
+    if PRECISION == 'int8':
+        from monoloco_tpu.ops.quant import quantize_folded, quantized_forward
+        rng_c = np.random.RandomState(1)
+        calib_kp = jnp.asarray(rng_c.rand(4096, 3, 17) * 300, jnp.float32)
+        kk_c = jnp.asarray([[718.3351, 0., 600.3891],
+                            [0., 718.3351, 181.5122], [0., 0., 1.]], jnp.float32)
+        folded = quantize_folded(folded, preprocess_monoloco(calib_kp, kk_c))
 
-    def serve_once(folded, keypoints, kk):
-        inputs = preprocess_monoloco(keypoints, kk).astype(jnp.bfloat16)
-        raw = folded_forward(folded, inputs, arch='loco').astype(jnp.float32)
-        out = extract_outputs(raw)
-        return out['xyzd'], out['bi'], out['yaw'][0], out['h'], out['w'], out['l']
+        def serve_once(folded, keypoints, kk):
+            inputs = preprocess_monoloco(keypoints, kk)
+            raw = quantized_forward(folded, inputs)
+            out = extract_outputs(raw)
+            return out['xyzd'], out['bi'], out['yaw'][0], out['h'], out['w'], out['l']
+    else:
+        if PRECISION != 'f32':
+            # Production serving runs the MLP in bfloat16 (decode stays f32);
+            # the induced output noise (~1e-3 absolute) is far inside the ALE
+            # parity window.
+            folded = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), folded)
+        dtype = jnp.float32 if PRECISION == 'f32' else jnp.bfloat16
+
+        def serve_once(folded, keypoints, kk):
+            inputs = preprocess_monoloco(keypoints, kk).astype(dtype)
+            raw = folded_forward(folded, inputs, arch='loco').astype(jnp.float32)
+            out = extract_outputs(raw)
+            return out['xyzd'], out['bi'], out['yaw'][0], out['h'], out['w'], out['l']
 
     @jax.jit
     def serve_scan(folded, keypoints, kk):

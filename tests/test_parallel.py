@@ -116,3 +116,13 @@ class TestTensorParallel:
         import __graft_entry__
         __graft_entry__.dryrun_multichip(4)
         assert 'dp2xtp2' in capsys.readouterr().out
+
+
+def test_graft_entry_compiles_and_runs():
+    """entry() returns a jittable forward step and example args (the driver's
+    single-chip compile-check contract)."""
+    import __graft_entry__
+    fn, example_args = __graft_entry__.entry()
+    xyzd, bi, yaw = jax.jit(fn)(*example_args)
+    assert xyzd.shape == (256, 4) and bi.shape == (256, 1) and yaw.shape == (256, 1)
+    assert np.all(np.isfinite(np.asarray(xyzd)))

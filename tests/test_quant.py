@@ -1,0 +1,84 @@
+"""Int8 post-training quantization of the folded serving path (ops/quant.py)."""
+
+import argparse
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+JOINTS = os.path.join(HERE, 'fixture_joints-kitti-mono.json')
+
+
+def test_int8_dense_exact_on_integer_grid():
+    """With integer-representable weights and activations the int8 matmul is
+    exact (scales quantize losslessly)."""
+    from monoloco_tpu.ops.quant import _quant_weight, _int8_dense
+    rng = np.random.RandomState(0)
+    w = rng.randint(-127, 128, (8, 4)).astype(np.float32)
+    w[0, :] = 127.0  # force per-column max|w| = 127 -> scale exactly 1.0
+    x = rng.randint(-127, 128, (5, 8)).astype(np.float32)
+    wq, scale = _quant_weight(jnp.asarray(w))
+    assert wq.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(scale), np.ones(4))
+    layer = {'wq': wq, 'scale': scale, 'b': jnp.zeros((4,), jnp.float32)}
+    out = _int8_dense(jnp.asarray(x), jnp.float32(1.0), layer)
+    np.testing.assert_array_equal(np.asarray(out), x @ w)
+
+
+def test_quantized_params_are_int8():
+    from monoloco_tpu.models import init_loco_params, fold_eval_params
+    from monoloco_tpu.ops.quant import quantize_folded
+    params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 64, 2)
+    folded = fold_eval_params(params, bn, arch='loco')
+    q = quantize_folded(folded, jnp.asarray(np.random.RandomState(0).randn(32, 34),
+                                            jnp.float32))
+    assert q['l0']['wq'].dtype == jnp.int8
+    assert q['stages']['a']['wq'].dtype == jnp.int8
+    assert q['stages']['a']['wq'].shape == (2, 64, 64)
+    assert q['stages']['a_in'].shape == (2,)
+    assert float(q['a_in']) > 0
+
+
+def test_int8_serving_tracks_f32_on_trained_model(tmp_path):
+    """Train briefly on the fixture, then compare int8 vs f32 decoded
+    distances on real keypoints: within a few percent relative."""
+    from monoloco_tpu.train import Trainer
+    from monoloco_tpu.models import fold_eval_params, folded_forward
+    from monoloco_tpu.ops.quant import quantize_folded, quantized_forward
+    from monoloco_tpu.network.preprocess import (preprocess_pifpaf,
+                                                 load_calibration,
+                                                 preprocess_monoloco)
+    from monoloco_tpu.network.decode import extract_outputs
+
+    args = argparse.Namespace(
+        joints=JOINTS, mode='mono', out=str(tmp_path / 'q.pkl'), epochs=5,
+        bs=64, dropout=0.2, lr=0.002, sched_step=30, sched_gamma=0.98,
+        hidden_size=128, n_stage=2, r_seed=1, auto_tune_mtl=False,
+        no_save=True, print_loss=False)
+    t = Trainer(args)
+    t.train()
+    folded = fold_eval_params(t.params, t.bn_state, arch='loco')
+
+    with open(os.path.join(HERE, 'fixture_002282.pifpaf.json')) as f:
+        anns = json.load(f)
+    _, kps = preprocess_pifpaf(anns, im_size=(1238, 374))
+    kk = load_calibration('kitti', (1238, 374))
+    x = preprocess_monoloco(jnp.asarray(np.asarray(kps)), jnp.asarray(kk))
+
+    q = quantize_folded(folded, x)
+    raw_f = jnp.asarray(folded_forward(folded, x, arch='loco'))
+    raw_q = jnp.asarray(jax.jit(quantized_forward)(q, x))
+    d_f = np.asarray(extract_outputs(raw_f)['d']).ravel()
+    d_q = np.asarray(extract_outputs(raw_q)['d']).ravel()
+    rel = np.abs(d_f - d_q) / np.maximum(np.abs(d_f), 0.5)
+    assert rel.mean() < 0.03, rel
+    assert rel.max() < 0.10, rel
+    # aleatoric spread must also survive quantization
+    b_f = np.asarray(extract_outputs(raw_f)['bi']).ravel()
+    b_q = np.asarray(extract_outputs(raw_q)['bi']).ravel()
+    assert np.all(np.isfinite(b_q))
+    assert np.abs(b_f - b_q).max() < 0.5
