@@ -1,4 +1,6 @@
-"""Host-side (numpy) variants of the small geometry reductions.
+"""Host-side (numpy) variants of the small geometry reductions
+(behavioral parity with /root/reference/monoloco/utils/camera.py and
+network/process.py — see each function's docstring).
 
 The serving architecture splits work strictly: the device runs ONE jitted
 program per image bucket (preprocess -> MLP -> decode); everything after —

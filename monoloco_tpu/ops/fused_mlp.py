@@ -1,5 +1,9 @@
 """Pallas TPU kernel: the entire BN-folded Loco eval MLP in one fused kernel.
 
+Capability parity target: the LocoModel forward of the reference
+(/root/reference/monoloco/network/architectures.py:6-102), served as a single
+kernel over the inference-folded affine form (see models/loco.py).
+
 One grid step processes one batch tile end-to-end:
   y  = relu(x @ W0 + b0)                      # 34 -> H input projection
   3x: h = relu(y @ Wa + ba); h = relu(h @ Wb + bb); y = y + h
