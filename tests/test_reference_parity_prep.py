@@ -176,3 +176,84 @@ class TestKittiUtilsVerbatim:
             dd = float(rng.uniform(0, 60))
             assert find_cluster(dd, clusters) == \
                 ref_kitti.find_cluster(dd, clusters)
+
+
+@pytest.fixture(scope='module')
+def ref_prep_kitti(ref_tr):
+    """Load the reference preprocess_kitti module verbatim, stubbing its torch
+    import (unused by parse_ground_truth) and package imports with OUR
+    already-proven primitives. sys.modules is restored afterwards."""
+    from monoloco_tpu import utils as our_utils
+    from monoloco_tpu import geometry as our_geo
+    from monoloco_tpu.geometry.host import np_preprocess_monoloco
+    from monoloco_tpu.network.preprocess import preprocess_pifpaf
+
+    saved = {k: sys.modules.get(k) for k in
+             ('torch', 'refmono', 'refmono.prep', 'refmono.utils',
+              'refmono.network', 'refmono.network.process',
+              'refmono.prep.transforms')}
+    torch_stub = types.ModuleType('torch')
+    pkg = types.ModuleType('refmono')
+    pkg.__path__ = []
+    pkg.__version__ = '0.0-test'
+    prep_pkg = types.ModuleType('refmono.prep')
+    prep_pkg.__path__ = []
+    utils_stub = types.ModuleType('refmono.utils')
+    for name in ('split_training', 'get_calibration', 'append_cluster',
+                 'make_new_directory', 'check_conditions'):
+        setattr(utils_stub, name, getattr(our_utils, name))
+    for name in ('get_iou_matches', 'open_annotations',
+                 'extract_stereo_matches', 'to_spherical', 'correct_angle'):
+        setattr(utils_stub, name, getattr(our_geo, name))
+    net_pkg = types.ModuleType('refmono.network')
+    net_pkg.__path__ = []
+    process_stub = types.ModuleType('refmono.network.process')
+    process_stub.preprocess_pifpaf = preprocess_pifpaf
+    process_stub.preprocess_monoloco = np_preprocess_monoloco
+    sys.modules.update({
+        'torch': torch_stub, 'refmono': pkg, 'refmono.prep': prep_pkg,
+        'refmono.utils': utils_stub, 'refmono.network': net_pkg,
+        'refmono.network.process': process_stub,
+        'refmono.prep.transforms': ref_tr,
+    })
+    try:
+        spec = importlib.util.spec_from_file_location(
+            'refmono.prep.preprocess_kitti',
+            '/root/reference/monoloco/prep/preprocess_kitti.py')
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def test_parse_ground_truth_verbatim(ref_prep_kitti, tmp_path):
+    """Training-label parity: our parse_ground_truth vs the reference's, on
+    synthetic KITTI gt files (both spherical and cartesian label modes)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'tools'))
+    from make_synthetic_kitti import write_scene
+    from monoloco_tpu.prep import parse_ground_truth
+    rng = np.random.RandomState(9)
+    for case in range(8):
+        people = [(float(rng.uniform(-6, 6)), float(rng.uniform(6, 35)),
+                   float(rng.uniform(-np.pi + 0.2, np.pi - 0.2)))
+                  for _ in range(rng.randint(1, 5))]
+        name = write_scene(str(tmp_path), case, people, rng)
+        path_gt = os.path.join(str(tmp_path), 'data', 'kitti', 'gt', name + '.txt')
+        for spherical in (False, True):
+            ours = parse_ground_truth(path_gt, 'pedestrian', spherical=spherical)
+            theirs = ref_prep_kitti.parse_ground_truth(path_gt, 'pedestrian',
+                                                       spherical=spherical)
+            np.testing.assert_allclose(ours[0], theirs[0], rtol=1e-12)  # boxes
+            np.testing.assert_allclose(ours[2], theirs[2], rtol=1e-12)  # truncs
+            assert ours[3] == theirs[3]                                 # occs
+            # labels: numeric part + trailing category string
+            for lo, lr in zip(ours[1], theirs[1]):
+                np.testing.assert_allclose(lo[:-1], lr[:-1], rtol=1e-10)
+                assert lo[-1] == lr[-1]
+            assert ours[4] == theirs[4]
