@@ -12,8 +12,12 @@ import numpy as np
 import pytest
 
 REF_STEREO = '/root/reference/monoloco/utils/stereo.py'
-pytestmark = pytest.mark.skipif(not os.path.exists(REF_STEREO),
-                                reason='reference checkout not available')
+pytestmark = [
+    pytest.mark.skipif(not os.path.exists(REF_STEREO),
+                       reason='reference checkout not available'),
+    # the reference's nanmedian over all-NaN rows warns; ours suppresses it
+    pytest.mark.filterwarnings('ignore::RuntimeWarning'),
+]
 
 
 @pytest.fixture(scope='module')
@@ -166,3 +170,63 @@ def test_misc_helpers_match_reference_verbatim():
             + list(rng.uniform(-1, 1, 3))
         np.testing.assert_allclose(normalize_hwl(lab),
                                    ref_misc.normalize_hwl(lab), rtol=1e-9)
+
+
+class _Torchish(np.ndarray):
+    """numpy stand-in for the torch tensor the reference's get_keypoints
+    returns: supports the single .unsqueeze call in features_similarity."""
+
+    def unsqueeze(self, axis):
+        return np.expand_dims(self, axis).view(_Torchish)
+
+
+@pytest.fixture(scope='module')
+def ref_sb():
+    import types
+    import sys
+    from monoloco_tpu.geometry.host import np_get_keypoints
+    from monoloco_tpu.geometry import mask_joint_disparity, disparity_to_depth
+
+    saved = {k: sys.modules.get(k) for k in ('refmono3', 'refmono3.utils')}
+    pkg = types.ModuleType('refmono3')
+    pkg.__path__ = []
+    utils_stub = types.ModuleType('refmono3.utils')
+    utils_stub.get_keypoints = \
+        lambda kps, mode: np.asarray(np_get_keypoints(kps, mode),
+                                     dtype=np.float64).view(_Torchish)
+    utils_stub.mask_joint_disparity = mask_joint_disparity
+    utils_stub.disparity_to_depth = disparity_to_depth
+    sys.modules.update({'refmono3': pkg, 'refmono3.utils': utils_stub})
+    try:
+        spec = importlib.util.spec_from_file_location(
+            'refmono3.eval.stereo_baselines',
+            '/root/reference/monoloco/eval/stereo_baselines.py')
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def test_baselines_association_verbatim(ref_sb):
+    from monoloco_tpu.eval.stereo_baselines import baselines_association
+    rng = np.random.RandomState(9)
+    for case in range(40):
+        kp, kps_r, _ = _random_scene(rng)
+        m = rng.randint(1, 4)
+        kps_l = np.repeat(kp, m, axis=0) + rng.uniform(-3, 3, (m, 3, 17))
+        zzs = [float(rng.uniform(5, 45)) for _ in range(m)]
+        feats = (rng.rand(m, 16), rng.rand(kps_r.shape[0], 16))
+        zz_o, cnt_o = baselines_association(
+            ['ml_stereo', 'pose', 'reid'], zzs, kps_l, kps_r, feats)
+        zz_r, cnt_r = ref_sb.baselines_association(
+            ['ml_stereo', 'pose', 'reid'], zzs, kps_l, kps_r, feats)
+        for key in ('ml_stereo', 'pose', 'reid'):
+            np.testing.assert_allclose(zz_o[key], zz_r[key], rtol=1e-6,
+                                       err_msg=f'{case}:{key}')
+            assert cnt_o[key] == cnt_r[key]
+        assert cnt_o['max'] == cnt_r['max']
