@@ -68,12 +68,21 @@ def _pifpaf_available():
 _PIFPAF_PREDICTOR = {}
 
 
-def run_pifpaf(image_paths, checkpoint=None, batch_size=1):
+def run_pifpaf(image_paths, checkpoint=None, batch_size=1, args=None):
     """Run OpenPifPaf on images; yields (path, annotations_json) per image.
 
     The Predictor (a full CNN checkpoint load) is cached per checkpoint so
-    multi-image runs pay the load once."""
+    multi-image runs pay the load once. Decoder flags (--seed-threshold,
+    --instance-threshold, ...) forward through openpifpaf's own configure
+    hooks, best-effort, like the reference (predict.py:150-152)."""
     import openpifpaf
+    if args is not None:
+        for mod in (getattr(openpifpaf, 'decoder', None),
+                    getattr(openpifpaf, 'Predictor', None)):
+            try:
+                mod.configure(args)
+            except Exception:
+                pass  # partial args namespace; keep openpifpaf defaults
     if checkpoint not in _PIFPAF_PREDICTOR:
         _PIFPAF_PREDICTOR[checkpoint] = openpifpaf.Predictor(checkpoint=checkpoint)
     predictor = _PIFPAF_PREDICTOR[checkpoint]
@@ -87,7 +96,8 @@ def load_annotations(image_path, args):
         with open(path) as f:
             return json.load(f)
     if _pifpaf_available():
-        for _, anns in run_pifpaf([image_path], checkpoint=args.checkpoint):
+        for _, anns in run_pifpaf([image_path], checkpoint=args.checkpoint,
+                                  args=args):
             return anns
     raise FileNotFoundError(
         f"No pifpaf annotations for {image_path}: provide <image>.pifpaf.json "

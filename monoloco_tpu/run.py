@@ -39,6 +39,29 @@ def cli():
     predict_parser.add_argument('--dpi', help='image resolution', type=int, default=100)
     predict_parser.add_argument('--long-edge', dest='long_edge', default=None, type=int,
                                 help='rescale the long side of the image')
+    # pifpaf/visual passthroughs (reference run.py:34-44) — accepted for
+    # script compatibility; forwarded to openpifpaf when it is installed,
+    # otherwise inert (precomputed-json mode needs no decoder settings).
+    predict_parser.add_argument('--white-overlay', nargs='?', default=False,
+                                const=0.8, type=float,
+                                help='increase contrast to annotations by making image whiter')
+    predict_parser.add_argument('--font-size', dest='font_size', default=0, type=int,
+                                help='annotation font size')
+    predict_parser.add_argument('--monocolor-connections', dest='monocolor_connections',
+                                default=False, action='store_true',
+                                help='use a single color per instance')
+    predict_parser.add_argument('--instance-threshold', dest='instance_threshold',
+                                type=float, default=None,
+                                help='threshold for entire instance')
+    predict_parser.add_argument('--seed-threshold', dest='seed_threshold',
+                                type=float, default=0.5,
+                                help='threshold for single seed')
+    predict_parser.add_argument('--disable-cuda', dest='disable_cuda',
+                                action='store_true',
+                                help='disable CUDA (no-op on the TPU/CPU backends)')
+    predict_parser.add_argument('--precise-rescaling', dest='fast_rescaling',
+                                default=True, action='store_false',
+                                help='use more exact image rescaling (requires scipy)')
     predict_parser.add_argument('--decoder-workers', default=None, type=int,
                                 help='number of workers for pose decoding')
     predict_parser.add_argument('--activities', nargs='+',

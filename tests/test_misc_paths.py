@@ -131,3 +131,18 @@ def test_eval_variance_cli_dispatch(tmp_path, monkeypatch):
     from monoloco_tpu.run import main
     main()
     assert (tmp_path / 'figures' / 'joints_variance.png').exists()
+
+
+def test_predict_accepts_reference_pifpaf_flags(tmp_path, monkeypatch):
+    """Every reference predict flag parses here (pifpaf/visual passthroughs
+    included), so reference invocations port unmodified."""
+    from monoloco_tpu.run import cli
+    monkeypatch.setattr(sys, 'argv', [
+        'monoloco_tpu.run', 'predict', 'img.png', '--seed-threshold', '0.4',
+        '--instance-threshold', '0.1', '--font-size', '12', '--white-overlay',
+        '--monocolor-connections', '--disable-cuda', '--precise-rescaling'])
+    args = cli()
+    assert args.seed_threshold == 0.4 and args.instance_threshold == 0.1
+    assert args.white_overlay == 0.8          # nargs='?' const
+    assert args.monocolor_connections and args.disable_cuda
+    assert args.fast_rescaling is False       # --precise-rescaling clears it
