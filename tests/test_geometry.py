@@ -237,3 +237,69 @@ class TestIoUMatchingFuzz:
             dets, gts = self._random_case(rng)
             assert get_iou_matches_matrix(dets, gts, thresh=0.1) == \
                 self._oracle_global(dets, gts, 0.1)
+
+
+class TestHostDeviceTwins:
+    """Systematic fuzz: the numpy host twins must match the jax device
+    functions (the serving engine mixes both across the host/device split)."""
+
+    def test_get_keypoints_all_modes(self):
+        import jax.numpy as jnp
+        from monoloco_tpu.geometry.camera import get_keypoints
+        from monoloco_tpu.geometry.host import np_get_keypoints
+        rng = np.random.RandomState(0)
+        kps = rng.rand(5, 3, 17) * 400
+        for mode in ('center', 'bottom', 'head', 'shoulder', 'hip', 'ankle'):
+            np.testing.assert_allclose(
+                np_get_keypoints(kps, mode),
+                np.asarray(get_keypoints(jnp.asarray(kps), mode)),
+                rtol=1e-5, err_msg=mode)
+
+    def test_pixel_to_camera_and_xyz_from_distance(self):
+        import jax.numpy as jnp
+        from monoloco_tpu.geometry.camera import pixel_to_camera, xyz_from_distance
+        from monoloco_tpu.geometry.host import (np_pixel_to_camera,
+                                                np_xyz_from_distance)
+        rng = np.random.RandomState(1)
+        kk = np.array([[718.0, 0, 600], [0, 718.0, 180], [0, 0, 1.0]])
+        uv = rng.rand(7, 2) * 800
+        for z in (1.0, 10.0):
+            np.testing.assert_allclose(
+                np_pixel_to_camera(uv, kk, z),
+                np.asarray(pixel_to_camera(jnp.asarray(uv), jnp.asarray(kk), z)),
+                rtol=1e-4)
+        dds = rng.rand(7) * 40 + 3
+        centers = np_pixel_to_camera(uv, kk, 1.0)
+        np.testing.assert_allclose(
+            np_xyz_from_distance(dds, centers),
+            np.asarray(xyz_from_distance(jnp.asarray(dds), jnp.asarray(centers))),
+            rtol=1e-4)
+
+    def test_preprocess_monoloco_twin(self):
+        import jax.numpy as jnp
+        from monoloco_tpu.network.preprocess import preprocess_monoloco
+        from monoloco_tpu.geometry.host import np_preprocess_monoloco
+        rng = np.random.RandomState(2)
+        kps = rng.rand(4, 3, 17) * 500
+        kk = np.array([[718.0, 0, 600], [0, 718.0, 180], [0, 0, 1.0]])
+        for zc in (False, True):
+            np.testing.assert_allclose(
+                np_preprocess_monoloco(kps, kk, zero_center=zc),
+                np.asarray(preprocess_monoloco(jnp.asarray(kps, jnp.float32),
+                                               jnp.asarray(kk, jnp.float32),
+                                               zero_center=zc)),
+                rtol=2e-2, atol=2e-2)  # device matmul precision (bf16-ish)
+
+    def test_laplace_sampling_twin_statistics(self):
+        """Different RNG streams (numpy vs jax) but the same seeded
+        determinism and the same Laplace(mu, |b|) distribution."""
+        from monoloco_tpu.geometry.host import np_laplace_sampling
+        outputs = np.array([[10.0, 1.0], [25.0, 2.0]])
+        s1 = np_laplace_sampling(outputs, n_samples=4000, seed=1)
+        s2 = np_laplace_sampling(outputs, n_samples=4000, seed=1)
+        np.testing.assert_array_equal(s1, s2)          # deterministic
+        assert s1.shape == (4000, 2)
+        np.testing.assert_allclose(np.median(s1, axis=0), [10.0, 25.0], atol=0.3)
+        # Laplace(b): std = sqrt(2) * b
+        np.testing.assert_allclose(s1.std(axis=0),
+                                   np.sqrt(2) * np.array([1.0, 2.0]), rtol=0.1)
