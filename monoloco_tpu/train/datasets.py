@@ -88,6 +88,8 @@ class KeypointsDataset:
         return self.inputs_all, self.outputs_all
 
     def get_cluster_annotations(self, clst):
+        if clst not in self.dic_clst:  # tiny datasets can have empty clusters
+            return np.zeros((0,), np.float32), np.zeros((0,), np.float32), 0
         inputs = np.asarray(self.dic_clst[clst]['X'], dtype=np.float32)
         outputs = np.asarray(self.dic_clst[clst]['Y'], dtype=np.float32)
         return inputs, outputs, len(self.dic_clst[clst]['Y'])

@@ -308,3 +308,50 @@ class TestTrainGenerateEval:
         assert res.returncode == 0, res.stdout + res.stderr
         stats = np.atleast_2d(np.loadtxt('results/synth/stats_pedestrian_detection.txt'))
         assert stats.shape[1] == 41
+
+
+class TestGenerateWithBaselines:
+    def test_mono_baselines_txts(self, tmp_path, monkeypatch):
+        """--baselines generation: monoloco_pp + legacy monoloco + geometric
+        txts per image (reference generate_kitti.py:62-85)."""
+        import argparse
+        import jax
+        from make_synthetic_kitti import make_dataset
+        from monoloco_tpu.train import Trainer
+        from monoloco_tpu.eval import GenerateKitti
+        from monoloco_tpu.models import init_monoloco_params
+        from monoloco_tpu.models.checkpoint import save_checkpoint
+        from monoloco_tpu.prep import PreprocessKitti
+
+        make_dataset(str(tmp_path), n_train=6, n_val=4, seed=31)
+        monkeypatch.chdir(tmp_path)
+        prep = PreprocessKitti(dir_ann='annotations', mode='mono', iou_min=0.3)
+        path_joints, _ = prep.run()
+        targs = argparse.Namespace(
+            joints=path_joints, mode='mono', out='data/outputs/b.pkl', epochs=2,
+            bs=64, dropout=0.2, lr=0.002, sched_step=30, sched_gamma=0.98,
+            hidden_size=64, n_stage=2, r_seed=1, auto_tune_mtl=False,
+            no_save=False, print_loss=False)
+        t = Trainer(targs)
+        t.train()
+        t.evaluate()
+
+        # random-init legacy monoloco checkpoint at the expected path
+        os.makedirs('data/models', exist_ok=True)
+        p, bn = init_monoloco_params(jax.random.PRNGKey(0), 34, 2, 256, 3)
+        save_checkpoint(GenerateKitti.monoloco_checkpoint, p, bn,
+                        meta={'net': 'monoloco'})
+
+        gargs = argparse.Namespace(
+            mode='mono', model='data/outputs/b.pkl', dir_ann='annotations',
+            n_dropout=0, dropout=0.2, hidden_size=64, n_stage=2,
+            baselines=True, generate_official=False, verbose=False,
+            save=False, show=False)
+        GenerateKitti(gargs).run()
+        for method in ('monoloco_pp', 'monoloco', 'geometric'):
+            txts = glob.glob(f'data/kitti/{method}/*.txt')
+            assert len(txts) == 4, method
+        # geometric txts carry geometric depths, not the net's
+        line_net = open(glob.glob('data/kitti/monoloco_pp/*.txt')[0]).readline()
+        line_geo = open(glob.glob('data/kitti/geometric/*.txt')[0]).readline()
+        assert len(line_net.split()) == 18 and len(line_geo.split()) == 18
