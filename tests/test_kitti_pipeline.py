@@ -355,3 +355,53 @@ class TestGenerateWithBaselines:
         line_net = open(glob.glob('data/kitti/monoloco_pp/*.txt')[0]).readline()
         line_geo = open(glob.glob('data/kitti/geometric/*.txt')[0]).readline()
         assert len(line_net.split()) == 18 and len(line_geo.split()) == 18
+
+    def test_stereo_baselines_txts(self, tmp_path, monkeypatch):
+        """--baselines stereo generation: pose/reid association txts
+        (reference generate_kitti.py:168-199), random-init ReID."""
+        import argparse
+        import shutil
+        import jax
+        from make_synthetic_kitti import make_dataset
+        from monoloco_tpu.train import Trainer
+        from monoloco_tpu.eval import GenerateKitti
+        from monoloco_tpu.models import init_monoloco_params
+        from monoloco_tpu.models.checkpoint import save_checkpoint
+        from monoloco_tpu.prep import PreprocessKitti
+
+        make_dataset(str(tmp_path), n_train=6, n_val=3, seed=33)
+        monkeypatch.chdir(tmp_path)
+        shutil.copytree('data/kitti/images', 'data/kitti/images_r')
+        prep = PreprocessKitti(dir_ann='annotations', mode='stereo', iou_min=0.3)
+        path_joints, _ = prep.run()
+        targs = argparse.Namespace(
+            joints=path_joints, mode='stereo', out='data/outputs/s.pkl',
+            epochs=2, bs=64, dropout=0.2, lr=0.002, sched_step=30,
+            sched_gamma=0.98, hidden_size=64, n_stage=2, r_seed=1,
+            auto_tune_mtl=False, no_save=False, print_loss=False)
+        t = Trainer(targs)
+        t.train()
+        t.evaluate()
+        os.makedirs('data/models', exist_ok=True)
+        p, bn = init_monoloco_params(jax.random.PRNGKey(0), 34, 2, 256, 3)
+        save_checkpoint(GenerateKitti.monoloco_checkpoint, p, bn,
+                        meta={'net': 'monoloco'})
+
+        gargs = argparse.Namespace(
+            mode='stereo', model='data/outputs/s.pkl', dir_ann='annotations',
+            n_dropout=0, dropout=0.2, hidden_size=64, n_stage=2,
+            baselines=True, generate_official=True, verbose=False,
+            save=False, show=False)
+        gen = GenerateKitti(gargs)
+        # small ReID input keeps the CPU compile fast
+        from monoloco_tpu.eval.reid_baseline import ReID
+        gen.reid_net = ReID(height=32, width=16)
+        gen.run()
+        for method in ('monstereo', 'monoloco', 'geometric', 'pose', 'reid'):
+            txts = glob.glob(f'data/kitti/{method}/*.txt')
+            non_empty = [t for t in txts if os.path.getsize(t) > 0]
+            assert len(non_empty) == 3, method
+        # --generate_official pads the full 7481-image KITTI layout
+        assert len(glob.glob('data/kitti/monstereo/*.txt')) == 7481
+        # stereo association actually corrected some depths
+        assert sum(gen.cnt_disparity.values()) > 0
