@@ -3,6 +3,10 @@
 Behavioral parity targets: /root/reference/monoloco/prep/preprocess_kitti.py
 (run :84-134, parse_annotations :136-188, mono/stereo processing :190-253,
 parse_ground_truth :338-372, factory_file :375-392, process_activity :283-323).
+The architecture is our own: scenes stream through `_ingest_scene` as a flat
+list of `_View` records (original + stereo-flipped), and the seeded stereo
+cascade is driven by explicit pair counters so prep output is reproducible
+annotation-for-annotation.
 
 Output schema matches the reference joints JSON consumed by train/datasets.py:
 {train|val|test: {X, Y, names, kps, K, clst}, version} and the names JSON used
@@ -15,13 +19,12 @@ no device dispatches in the per-file loop).
 
 import copy
 import datetime
-import glob
 import json
 import logging
 import math
 import os
 import warnings
-from collections import defaultdict
+from collections import defaultdict, namedtuple
 
 import numpy as np
 from PIL import Image
@@ -37,8 +40,14 @@ from .transforms import flip_inputs, flip_labels, height_augmentation
 
 logging.basicConfig(level=logging.INFO)
 
+# One padded view of a scene: detections on the "left" camera paired with the
+# ground truth they can match against, plus the right-camera poses for stereo.
+_View = namedtuple('_View', 'det_boxes kps_left kps_right gt_boxes gt_labels is_flip')
 
-def _empty_phase_dict():
+_PHASES = ('train', 'val', 'test')
+
+
+def _fresh_split():
     return dict(X=[], Y=[], names=[], kps=[], K=[],
                 clst=defaultdict(lambda: defaultdict(list)))
 
@@ -56,236 +65,233 @@ class PreprocessKitti:
     SOCIAL_DISTANCE = True
 
     logger = logging.getLogger(__name__)
-    categories_gt = dict(train=['Pedestrian', 'Person_sitting'], val=['Pedestrian'])
+    # gt categories admitted per phase (reference keeps sitting people only
+    # for training).
+    KEEP_CATEGORIES = dict(train=('Pedestrian', 'Person_sitting'),
+                           val=('Pedestrian',))
 
     def __init__(self, dir_ann, mode='mono', iou_min=0.3, sample=False,
                  dir_splits='splits'):
+        assert mode in ('mono', 'stereo'), "modality not recognized"
         self.dir_ann = dir_ann
         self.mode = mode
         self.iou_min = iou_min
         self.sample = sample
 
-        assert os.path.isdir(self.dir_ann), "Annotation directory not found"
-        assert any(os.scandir(self.dir_ann)), "Annotation directory empty"
-        assert os.path.isdir(self.dir_gt), "Ground truth directory not found"
-        assert any(os.scandir(self.dir_gt)), "Ground-truth directory empty"
+        self._require_dir(self.dir_ann, 'Annotation')
+        self._require_dir(self.dir_gt, 'Ground-truth')
+        right_ok = (os.path.isdir(dir_ann + '_right')
+                    and any(os.scandir(dir_ann + '_right')))
         if self.mode == 'stereo':
-            assert os.path.isdir(self.dir_ann + '_right'), \
-                "Annotation directory for right images not found"
-            assert any(os.scandir(self.dir_ann + '_right')), \
-                "Annotation directory for right images empty"
-        elif not os.path.isdir(self.dir_ann + '_right') \
-                or not any(os.scandir(self.dir_ann + '_right')):
+            assert right_ok, "Annotation directory for right images not found/empty"
+        elif not right_ok:
             warnings.warn('Horizontal flipping not applied as annotation directory '
                           'for right images not found/empty')
-        assert self.mode in ('mono', 'stereo'), "modality not recognized"
 
-        self.dic_jo = {
-            'train': _empty_phase_dict(),
-            'val': _empty_phase_dict(),
-            'test': _empty_phase_dict(),
-            'version': __version__,
-        }
+        self.dic_jo = {ph: _fresh_split() for ph in _PHASES}
+        self.dic_jo['version'] = __version__
         self.dic_names = defaultdict(lambda: defaultdict(list))
+
         self.names_gt = tuple(os.listdir(self.dir_gt))
-        self.list_gt = glob.glob(self.dir_gt + '/*.txt')
-        now_time = datetime.datetime.now().strftime("%Y%m%d-%H%M")[2:]
-        dir_out = os.path.join('data', 'arrays')
-        self.path_joints = os.path.join(dir_out, f'joints-kitti-{self.mode}-{now_time}.json')
-        self.path_names = os.path.join(dir_out, f'names-kitti-{self.mode}-{now_time}.json')
-        path_train = os.path.join(dir_splits, 'kitti_train.txt')
-        path_val = os.path.join(dir_splits, 'kitti_val.txt')
-        self.set_train, self.set_val = split_training(self.names_gt, path_train, path_val)
-        self.phase, self.name = None, None
+        stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M")[2:]
+        arrays = os.path.join('data', 'arrays')
+        self.path_joints = os.path.join(arrays, f'joints-kitti-{mode}-{stamp}.json')
+        self.path_names = os.path.join(arrays, f'names-kitti-{mode}-{stamp}.json')
+        self.set_train, self.set_val = split_training(
+            self.names_gt,
+            os.path.join(dir_splits, 'kitti_train.txt'),
+            os.path.join(dir_splits, 'kitti_val.txt'))
+
+        # Scene/match counters (mono) and the stereo pair counters that seed
+        # the reproducible np.random draws of the stereo cascade.
         self.stats = defaultdict(int)
         self.stats_stereo = defaultdict(int)
+
+    @staticmethod
+    def _require_dir(path, what):
+        assert os.path.isdir(path), f"{what} directory not found"
+        assert any(os.scandir(path)), f"{what} directory empty"
 
     # ------------------------------------------------------------------
 
     def run(self):
-        for self.name in self.names_gt:
-            path_gt = os.path.join(self.dir_gt, self.name)
-            basename, _ = os.path.splitext(self.name)
-            self.phase, file_not_found = self._factory_phase(self.name)
-            category = 'all' if self.phase == 'train' else 'pedestrian'
-            if file_not_found:
+        for gt_name in self.names_gt:
+            phase = self._phase_of(gt_name)
+            if phase is None:
                 self.stats['fnf'] += 1
                 continue
-
-            boxes_gt, labels, _, _, _ = parse_ground_truth(path_gt, category=category,
-                                                           spherical=True)
-            self.stats['gt_' + self.phase] += len(boxes_gt)
-            self.stats['gt_files'] += 1
-            self.stats['gt_files_ped'] += min(len(boxes_gt), 1)
-            self.dic_names[basename + '.png']['boxes'] = copy.deepcopy(boxes_gt)
-            self.dic_names[basename + '.png']['ys'] = copy.deepcopy(labels)
-
-            dic_boxes, dic_kps, dic_gt = self.parse_annotations(boxes_gt, labels, basename)
-            if dic_boxes is None:
-                continue
-            self.dic_names[basename + '.png']['K'] = copy.deepcopy(dic_gt['K'])
-
-            for ii, bxs_gt in enumerate(dic_boxes['gt']):
-                kps = np.asarray(dic_kps['left'][ii], dtype=np.float64)
-                kps_r = np.asarray(dic_kps['right'][ii], dtype=np.float64)
-                matches = get_iou_matches(dic_boxes['left'][ii], bxs_gt, self.iou_min)
-                self.stats['flipping_match'] += len(matches) if ii == 1 else 0
-                for (idx, idx_gt) in matches:
-                    cat_gt = dic_gt['labels'][ii][idx_gt][-1]
-                    if cat_gt not in self.categories_gt[self.phase]:
-                        continue
-                    kp = kps[idx:idx + 1]
-                    kk = dic_gt['K']
-                    label = dic_gt['labels'][ii][idx_gt][:-1]
-                    self.stats['match'] += 1
-                    assert len(label) == 10, 'dimensions of monocular label is wrong'
-                    if self.mode == 'mono':
-                        self._process_annotation_mono(kp, kk, label)
-                    else:
-                        self._process_annotation_stereo(kp, kk, label, kps_r)
+            self._ingest_scene(gt_name, phase)
 
         os.makedirs(os.path.dirname(self.path_joints), exist_ok=True)
-        with open(self.path_joints, 'w') as file:
-            json.dump(self.dic_jo, file)
-        with open(self.path_names, 'w') as file:
-            json.dump(self.dic_names, file)
-        self._cout()
+        with open(self.path_joints, 'w') as f:
+            json.dump(self.dic_jo, f)
+        with open(self.path_names, 'w') as f:
+            json.dump(self.dic_names, f)
+        self._report()
         return self.path_joints, self.path_names
 
-    # ------------------------------------------------------------------
+    def _ingest_scene(self, gt_name, phase):
+        """One gt file: parse labels, match detections, store annotations."""
+        basename, _ = os.path.splitext(gt_name)
+        # Training keeps every class for matching ('all'); val is
+        # pedestrian-only like the evaluation.
+        gt_boxes, gt_labels, _, _, _ = parse_ground_truth(
+            os.path.join(self.dir_gt, gt_name),
+            category='all' if phase == 'train' else 'pedestrian',
+            spherical=True)
 
-    def parse_annotations(self, boxes_gt, labels, basename):
-        path_im = os.path.join(self.dir_images, basename + '.png')
+        self.stats['gt_' + phase] += len(gt_boxes)
+        self.stats['gt_files'] += 1
+        self.stats['gt_files_ped'] += min(len(gt_boxes), 1)
+        image_key = basename + '.png'
+        self.dic_names[image_key]['boxes'] = copy.deepcopy(gt_boxes)
+        self.dic_names[image_key]['ys'] = copy.deepcopy(gt_labels)
+
+        loaded = self._scene_views(basename, phase, gt_boxes, gt_labels)
+        if loaded is None:
+            return
+        kk, views = loaded
+        self.dic_names[image_key]['K'] = copy.deepcopy(kk)
+
+        keep = self.KEEP_CATEGORIES[phase]
+        for view in views:
+            kps_l = np.asarray(view.kps_left, dtype=np.float64)
+            kps_r = np.asarray(view.kps_right, dtype=np.float64)
+            matches = get_iou_matches(view.det_boxes, view.gt_boxes, self.iou_min)
+            if view.is_flip:
+                self.stats['flipping_match'] += len(matches)
+            for det_idx, gt_idx in matches:
+                labeled = view.gt_labels[gt_idx]
+                if labeled[-1] not in keep:   # trailing element is the category
+                    continue
+                self.stats['match'] += 1
+                label = labeled[:-1]
+                assert len(label) == 10, 'dimensions of monocular label is wrong'
+                one_kp = kps_l[det_idx:det_idx + 1]
+                if self.mode == 'mono':
+                    self._store_mono(phase, gt_name, one_kp, kk, label)
+                else:
+                    self._store_stereo(phase, gt_name, one_kp, kk, label, kps_r)
+
+    def _scene_views(self, basename, phase, gt_boxes, gt_labels):
+        """Load detections; return (K, [views]) or None when nothing detected.
+
+        Training scenes with right-camera poses yield a second, horizontally
+        flipped view whose gt is disparity-corrected (stereo-flip
+        augmentation); without right poses the first left pose stands in so
+        the stereo pairing code keeps a static shape.
+        """
+        with Image.open(os.path.join(self.dir_images, basename + '.png')) as im:
+            im_w, im_h = im.size
         path_calib = os.path.join(self.dir_kk, basename + '.txt')
-        min_conf = 0 if self.phase == 'train' else 0.1
-
-        with Image.open(path_im) as im:
-            width, height = im.size
+        conf_floor = 0 if phase == 'train' else 0.1
 
         annotations, kk, _ = factory_file(path_calib, self.dir_ann, basename)
-        boxes, keypoints = preprocess_pifpaf(annotations, im_size=(width, height),
-                                             min_conf=min_conf)
-        if not keypoints:
-            return None, None, None
+        det_boxes, kps = preprocess_pifpaf(annotations, im_size=(im_w, im_h),
+                                           min_conf=conf_floor)
+        if not kps:
+            return None
+        self.stats['instances'] += len(kps)
 
-        self.stats['instances'] += len(keypoints)
         annotations_r, _, _ = factory_file(path_calib, self.dir_ann, basename,
                                            ann_type='right')
-        boxes_r, keypoints_r = preprocess_pifpaf(annotations_r, im_size=(width, height),
-                                                 min_conf=min_conf)
+        det_boxes_r, kps_r = preprocess_pifpaf(annotations_r, im_size=(im_w, im_h),
+                                               min_conf=conf_floor)
 
-        if not keypoints_r:
-            # No right detections: duplicate the first left one as a stand-in.
-            all_boxes_gt, all_labels = [boxes_gt], [labels]
-            keypoints_r = keypoints[0:1].copy()
-            all_boxes, all_keypoints = [boxes], [keypoints]
-            all_keypoints_r = [keypoints_r]
-        elif self.phase == 'train':
-            # Stereo-flip augmentation: flipped right-camera poses become new
-            # "left" training data with disparity-corrected ground truth.
-            boxes_gt_flip, ys_flip = flip_labels(boxes_gt, labels, im_w=width)
-            boxes_flip = flip_inputs(boxes_r, im_w=width, mode='box')
-            keypoints_flip = flip_inputs(keypoints_r, im_w=width)
-            keypoints_r_flip = flip_inputs(keypoints, im_w=width)
-            all_boxes_gt = [boxes_gt, boxes_gt_flip]
-            all_labels = [labels, ys_flip]
-            all_boxes = [boxes, boxes_flip]
-            all_keypoints = [keypoints, keypoints_flip]
-            all_keypoints_r = [keypoints_r, keypoints_r_flip]
+        if not kps_r:
+            views = [_View(det_boxes, kps, kps[0:1].copy(), gt_boxes, gt_labels,
+                           is_flip=False)]
         else:
-            all_boxes_gt, all_labels = [boxes_gt], [labels]
-            all_boxes, all_keypoints = [boxes], [keypoints]
-            all_keypoints_r = [keypoints_r]
-
-        dic_boxes = dict(left=all_boxes, gt=all_boxes_gt)
-        dic_kps = dict(left=all_keypoints, right=all_keypoints_r)
-        dic_gt = dict(K=kk, labels=all_labels)
-        return dic_boxes, dic_kps, dic_gt
+            views = [_View(det_boxes, kps, kps_r, gt_boxes, gt_labels,
+                           is_flip=False)]
+            if phase == 'train':
+                gt_boxes_f, gt_labels_f = flip_labels(gt_boxes, gt_labels, im_w=im_w)
+                views.append(_View(
+                    flip_inputs(det_boxes_r, im_w=im_w, mode='box'),
+                    flip_inputs(kps_r, im_w=im_w),
+                    flip_inputs(kps, im_w=im_w),
+                    gt_boxes_f, gt_labels_f, is_flip=True))
+        return kk, views
 
     # ------------------------------------------------------------------
 
-    def _process_annotation_mono(self, kp, kk, label):
-        kp_list = kp.tolist()
-        inp = np_preprocess_monoloco(kp, kk).reshape(-1).tolist()
-        self.dic_jo[self.phase]['kps'].append(kp_list)
-        self.dic_jo[self.phase]['X'].append(inp)
-        self.dic_jo[self.phase]['Y'].append(label)
-        self.dic_jo[self.phase]['names'].append(self.name)
+    def _append(self, phase, gt_name, inp, label, keypoint, kk):
+        split = self.dic_jo[phase]
+        split['kps'].append(keypoint)
+        split['X'].append(inp)
+        split['Y'].append(label)
+        split['names'].append(gt_name)
         # One K per annotation (not per image): the geometric baseline
         # back-projects each annotation with its own calibration.
-        self.dic_jo[self.phase]['K'].append(kk)
-        append_cluster(self.dic_jo, self.phase, inp, label, kp_list)
-        self.stats['total_' + self.phase] += 1
+        split['K'].append(kk)
+        append_cluster(self.dic_jo, phase, inp, label, keypoint)
 
-    def _process_annotation_stereo(self, kp, kk, label, kps_r):
-        zz = label[2]
-        stereo_matches, cnt_amb = extract_stereo_matches(
-            kp, kps_r, zz, phase=self.phase, seed=self.stats_stereo['pair'])
-        self.stats_stereo['ambiguous'] += cnt_amb
+    def _store_mono(self, phase, gt_name, kp, kk, label):
+        inp = np_preprocess_monoloco(kp, kk).reshape(-1).tolist()
+        self._append(phase, gt_name, inp, label, kp.tolist(), kk)
+        self.stats['total_' + phase] += 1
 
-        for idx_r, s_match in stereo_matches:
+    def _store_stereo(self, phase, gt_name, kp, kk, label, kps_r):
+        st = self.stats_stereo
+        # The running pair count seeds the cascade's np.random draws — it must
+        # advance in exactly this order for reproducible prep output.
+        stereo_matches, n_ambiguous = extract_stereo_matches(
+            kp, kps_r, label[2], phase=phase, seed=st['pair'])
+        st['ambiguous'] += n_ambiguous
+
+        for right_idx, s_match in stereo_matches:
+            if s_match > 0.9:
+                st['true_pair'] += 1
+            st['pair'] += 1
             label_s = label + [s_match]
-            self.stats_stereo['true_pair'] += 1 if s_match > 0.9 else 0
-            self.stats_stereo['pair'] += 1
 
-            flag_aug = (self.phase == 'train' and 3 < label[2] < 30
-                        and (s_match > 0.9 or self.stats_stereo['pair'] % 2 == 0))
-            if flag_aug:
+            resample = (phase == 'train' and 3 < label[2] < 30
+                        and (s_match > 0.9 or st['pair'] % 2 == 0))
+            if resample:
                 kps_aug, labels_aug = height_augmentation(
-                    kp, kps_r[idx_r:idx_r + 1], label_s, seed=self.stats_stereo['pair'])
+                    kp, kps_r[right_idx:right_idx + 1], label_s, seed=st['pair'])
             else:
-                kps_aug = [(kp, kps_r[idx_r:idx_r + 1])]
+                kps_aug = [(kp, kps_r[right_idx:right_idx + 1])]
                 labels_aug = [label_s]
 
-            for i, lab in enumerate(labels_aug):
+            for (kp_l, kp_r), lab in zip(kps_aug, labels_aug):
                 assert len(lab) == 11, 'dimensions of stereo label is wrong'
-                self.stats_stereo['pair_aug'] += 1
-                kp_aug, kp_aug_r = kps_aug[i]
-                input_l = np_preprocess_monoloco(kp_aug, kk).reshape(-1)
-                input_r = np_preprocess_monoloco(kp_aug_r, kk).reshape(-1)
-                keypoint = np.concatenate(
-                    [np.asarray(kp_aug), np.asarray(kp_aug_r)], axis=2).tolist()
-                inp = np.concatenate([input_l, input_l - input_r]).tolist()
-                self.dic_jo[self.phase]['kps'].append(keypoint)
-                self.dic_jo[self.phase]['X'].append(inp)
-                self.dic_jo[self.phase]['Y'].append(lab)
-                self.dic_jo[self.phase]['names'].append(self.name)
-                self.dic_jo[self.phase]['K'].append(kk)
-                append_cluster(self.dic_jo, self.phase, inp, lab, keypoint)
-                self.stats_stereo['total_' + self.phase] += 1
+                st['pair_aug'] += 1
+                x_l = np_preprocess_monoloco(kp_l, kk).reshape(-1)
+                x_r = np_preprocess_monoloco(kp_r, kk).reshape(-1)
+                stacked_kp = np.concatenate(
+                    [np.asarray(kp_l), np.asarray(kp_r)], axis=2).tolist()
+                inp = np.concatenate([x_l, x_l - x_r]).tolist()
+                self._append(phase, gt_name, inp, lab, stacked_kp, kk)
+                st['total_' + phase] += 1
 
     # ------------------------------------------------------------------
 
-    def _cout(self):
-        print('-' * 100)
-        print(f"Number of GT files: {self.stats['gt_files']} ")
-        print(f"Files with at least one pedestrian/cyclist: {self.stats['gt_files_ped']}")
-        print(f"Files not found: {self.stats['fnf']}")
-        print('-' * 100)
-        our = self.stats['match'] - self.stats['flipping_match']
-        gt = self.stats['gt_train'] + self.stats['gt_val']
-        if gt:
-            print(f"Ground truth matches: {100 * our / gt:.1f} for left images (train and val)")
-        print(f"Parsed instances: {self.stats['instances']}")
-        print(f"Ground truth instances: {gt}")
-        print(f"Matched instances: {our}")
-        print(f"Including horizontal flipping: {self.stats['match']}")
-
+    def _report(self):
+        s, st = self.stats, self.stats_stereo
+        gt_total = s['gt_train'] + s['gt_val']
+        direct = s['match'] - s['flipping_match']
+        sep = '-' * 100
+        print(sep)
+        print(f"gt files parsed: {s['gt_files']} "
+              f"(with people: {s['gt_files_ped']}, unmatched to a split: {s['fnf']})")
+        print(sep)
+        if gt_total:
+            print(f"left-image gt recall: {100 * direct / gt_total:.1f}%")
+        print(f"pifpaf instances seen: {s['instances']}; gt instances: {gt_total}")
+        print(f"matched: {direct} directly, {s['match']} counting the stereo-flip views")
         if self.mode == 'stereo':
-            print('-' * 100)
-            print(f"Ambiguous instances removed: {self.stats_stereo['ambiguous']}")
-            if self.stats_stereo['pair']:
-                ratio = 100 * self.stats_stereo['true_pair'] / self.stats_stereo['pair']
-                print(f"True pairs ratio: {ratio:.1f}% ")
-            aug = self.stats_stereo['pair_aug'] - self.stats_stereo['pair']
-            print(f"Height augmentation pairs: {aug} ")
-            print('-' * 100)
-        stats = self.stats_stereo if self.mode == 'stereo' else self.stats
-        print(f"Total annotations for TRAINING: {stats['total_train']}")
-        print(f"Total annotations for VALIDATION: {stats['total_val']}")
-        print('-' * 100)
+            print(sep)
+            print(f"ambiguous candidates dropped: {st['ambiguous']}")
+            if st['pair']:
+                print(f"true stereo pairs: {100 * st['true_pair'] / st['pair']:.1f}%")
+            print(f"height-resampled extras: {st['pair_aug'] - st['pair']}")
+        totals = st if self.mode == 'stereo' else s
+        print(sep)
+        print(f"annotations written — train: {totals['total_train']}, "
+              f"val: {totals['total_val']}")
         print(f"\nOutput files:\n{self.path_names}\n{self.path_joints}")
-        print('-' * 100)
+        print(sep)
 
     # ------------------------------------------------------------------
 
@@ -293,46 +299,38 @@ class PreprocessKitti:
         """Augment KITTI gt files with a social-distance activity flag
         (reference preprocess_kitti.py:283-323)."""
         from ..activity import social_interactions
-        main_dir = os.path.join('data', 'kitti')
-        dir_gt = os.path.join(main_dir, 'gt')
-        dir_out = os.path.join(main_dir, 'gt_activity')
+        dir_gt = os.path.join('data', 'kitti', 'gt')
+        dir_out = os.path.join('data', 'kitti', 'gt_activity')
         make_new_directory(dir_out)
-        cnt_tp, cnt_tn = 0, 0
-        category = 'pedestrian'
+        n_pos = n_neg = 0
 
         for name in self.set_val:
-            path_gt = os.path.join(dir_gt, name)
-            _, ys, _, _, lines = parse_ground_truth(path_gt, category, spherical=False)
+            _, ys, _, _, lines = parse_ground_truth(
+                os.path.join(dir_gt, name), 'pedestrian', spherical=False)
             # Cartesian labels: [x, y, z, dd, h, w, l, sin, cos, yaw, cat]
             angles = [y[9] for y in ys]
             dds = [y[3] for y in ys]
             xz_centers = [[y[0], y[2]] for y in ys]
 
-            path_out = os.path.join(dir_out, name)
-            with open(path_out, 'w+') as ff:
+            with open(os.path.join(dir_out, name), 'w+') as ff:
                 for idx, line in enumerate(lines):
-                    if social_interactions(idx, xz_centers, angles, dds,
-                                           n_samples=1,
-                                           threshold_dist=self.THRESHOLD_DIST,
-                                           radii=self.RADII,
-                                           social_distance=self.SOCIAL_DISTANCE):
-                        activity = '1'
-                        cnt_tp += 1
-                    else:
-                        activity = '0'
-                        cnt_tn += 1
-                    line_new = line[:-1] + ' ' + activity + line[-1]
-                    ff.write(line_new)
+                    flag = social_interactions(
+                        idx, xz_centers, angles, dds, n_samples=1,
+                        threshold_dist=self.THRESHOLD_DIST, radii=self.RADII,
+                        social_distance=self.SOCIAL_DISTANCE)
+                    n_pos += flag
+                    n_neg += not flag
+                    ff.write(line[:-1] + (' 1' if flag else ' 0') + line[-1])
 
         print(f'Written {len(self.set_val)} new files in {dir_out}')
-        print(f'Saved {cnt_tp} positive and {cnt_tn} negative annotations')
+        print(f'Saved {n_pos} positive and {n_neg} negative annotations')
 
-    def _factory_phase(self, name):
-        if name in self.set_train:
-            return 'train', False
-        if name in self.set_val:
-            return 'val', False
-        return None, True
+    def _phase_of(self, gt_name):
+        if gt_name in self.set_train:
+            return 'train'
+        if gt_name in self.set_val:
+            return 'val'
+        return None
 
 
 def parse_ground_truth(path_gt, category, spherical=False):
@@ -342,44 +340,39 @@ def parse_ground_truth(path_gt, category, spherical=False):
     spherical=False: label = [x, y, z, d, h, w, l, sin_a, cos_a, yaw, cat]
     Validates alpha ~= yaw - atan2(x, z) within 0.15 rad (reference :362).
     """
-    boxes_gt, labels, truncs_gt, occs_gt, lines = [], [], [], [], []
-    with open(path_gt, 'r') as f_gt:
-        for line_gt in f_gt:
-            line = line_gt.split()
-            if not check_conditions(line_gt, category, method='gt'):
+    boxes, labels, truncs, occs, raw_lines = [], [], [], [], []
+    with open(path_gt, 'r') as f:
+        for raw in f:
+            if not check_conditions(raw, category, method='gt'):
                 continue
-            truncs_gt.append(float(line[1]))
-            occs_gt.append(int(line[2]))
-            boxes_gt.append([float(x) for x in line[4:8]])
-            xyz = [float(x) for x in line[11:14]]
-            hwl = [float(x) for x in line[8:11]]
-            dd = math.sqrt(xyz[0] ** 2 + xyz[1] ** 2 + xyz[2] ** 2)
-            yaw = float(line[14])
+            fields = raw.split()
+            xyz = [float(v) for v in fields[11:14]]
+            yaw = float(fields[14])
             assert -math.pi <= yaw <= math.pi
-            alpha = float(line[3])
-            sin, cos, yaw_corr = correct_angle(yaw, xyz)
-            assert min(abs(-yaw_corr - alpha), abs(yaw_corr - alpha)) < 0.15, \
+            sin_a, cos_a, yaw_ego = correct_angle(yaw, xyz)
+            alpha = float(fields[3])
+            assert min(abs(-yaw_ego - alpha), abs(yaw_ego - alpha)) < 0.15, \
                 "more than 10 degrees of error"
             if spherical:
-                rtp = to_spherical(xyz)
-                loc = rtp[1:3] + xyz[2:3] + rtp[0:1]   # [theta, psi, z, r]
+                r_t_p = to_spherical(xyz)
+                loc = r_t_p[1:3] + xyz[2:3] + r_t_p[0:1]   # [theta, psi, z, r]
             else:
-                loc = xyz + [dd]
-            output = loc + hwl + [sin, cos, yaw, line[0]]
-            labels.append(output)
-            lines.append(line_gt)
-    return boxes_gt, labels, truncs_gt, occs_gt, lines
+                loc = xyz + [math.hypot(math.hypot(xyz[0], xyz[1]), xyz[2])]
+            truncs.append(float(fields[1]))
+            occs.append(int(fields[2]))
+            boxes.append([float(v) for v in fields[4:8]])
+            hwl = [float(v) for v in fields[8:11]]
+            labels.append(loc + hwl + [sin_a, cos_a, yaw, fields[0]])
+            raw_lines.append(raw)
+    return boxes, labels, truncs, occs, raw_lines
 
 
 def factory_file(path_calib, dir_ann, basename, ann_type='left'):
     """Load the pifpaf annotation json + calibration for one image."""
     assert ann_type in ('left', 'right')
-    p_left, p_right = get_calibration(path_calib)
-    if ann_type == 'left':
-        kk, tt = p_left[:]
-        path_ann = os.path.join(dir_ann, basename + '.png.predictions.json')
-    else:
-        kk, tt = p_right[:]
-        path_ann = os.path.join(dir_ann + '_right', basename + '.png.predictions.json')
-    annotations = open_annotations(path_ann)
+    calib_left, calib_right = get_calibration(path_calib)
+    kk, tt = calib_left if ann_type == 'left' else calib_right
+    ann_dir = dir_ann if ann_type == 'left' else dir_ann + '_right'
+    annotations = open_annotations(
+        os.path.join(ann_dir, basename + '.png.predictions.json'))
     return annotations, kk, tt
