@@ -5,7 +5,9 @@ same clusters (easy/moderate/hard/all + distance bins 3..49), same per-method
 IoU/confidence thresholds for comparable recall, same error/uncertainty
 accumulators (ALE mean/max, ALP <0.5/1/2 m, bi/epi means, interval coverage,
 at-risk coverage, prec_1/prec_2), true-negative fill for matched recall, and
-the tabulated summary.
+the tabulated summary. The structure is our own: each method's txt parsing and
+scoring happens in one `_score_method` pass per scene, and all knob values
+live in the module-level tables below.
 """
 
 import copy
@@ -14,7 +16,7 @@ import json
 import logging
 import math
 import os
-from collections import defaultdict
+from collections import defaultdict, namedtuple
 
 import numpy as np
 
@@ -29,8 +31,27 @@ from ..utils import (get_task_error, get_pixel_error, check_conditions,
                      get_difficulty, split_training, average, find_cluster)
 from ..prep import parse_ground_truth
 
+# Methods we generate ourselves (their txts carry bi/epi uncertainty columns)
+# vs published external baselines whose result files may sit in data/kitti/.
+SELF_METHODS = ('geometric', 'monoloco', 'monoloco_pp', 'pose', 'reid', 'monstereo')
+EXTERNAL_MONO = ('m3d', 'monopsr', 'smoke', 'monodis')
+EXTERNAL_STEREO = ('3dop', 'psf', 'pseudo-lidar', 'e2e', 'oc-stereo')
+ANALYTIC_BOUNDS = ('task_error', 'pixel_error')
 
-def _simple_table(rows, headers):
+# Detection-confidence floors chosen so every method evaluates at a comparable
+# recall (reference eval_kitti.py:51-81, incl. the monopsr offset and the
+# methods evaluated without a confidence gate).
+_CONF_FLOOR_SELF = 0.2
+_CONF_FLOOR_EXTERNAL = 0.5
+_CONF_OVERRIDES = {'monopsr': 0.9, 'e2e-pl': -100, 'oc-stereo': -100,
+                   'smoke': -100, 'monodis': -100}
+_IOU_FLOOR = 0.3
+
+_Scene = namedtuple('_Scene', 'boxes labels truncs occs')
+_Detections = namedtuple('_Detections', 'boxes dds cats bis epis')
+
+
+def _fmt_table(rows, headers):
     widths = [max(len(str(r[i])) for r in [headers] + rows) for i in range(len(headers))]
     fmt = '  '.join('{:<%d}' % w for w in widths)
     return '\n'.join([fmt.format(*headers)] + [fmt.format(*[str(c) for c in r]) for r in rows])
@@ -43,53 +64,56 @@ class EvalKitti:
     CLUSTERS = ('easy', 'moderate', 'hard', 'all', '3', '5', '7', '9', '11', '13',
                 '15', '17', '19', '21', '23', '25', '27', '29', '31', '49')
     ALP_THRESHOLDS = ('<0.5m', '<1m', '<2m')
-    OUR_METHODS = ['geometric', 'monoloco', 'monoloco_pp', 'pose', 'reid', 'monstereo']
-    METHODS_MONO = ['m3d', 'monopsr', 'smoke', 'monodis']
-    METHODS_STEREO = ['3dop', 'psf', 'pseudo-lidar', 'e2e', 'oc-stereo']
-    BASELINES = ['task_error', 'pixel_error']
+    # kept as class attributes for callers/tests that tweak them per-instance
+    OUR_METHODS = list(SELF_METHODS)
     HEADERS = ('method', '<0.5', '<1m', '<2m', 'easy', 'moderate', 'hard', 'all')
     CATEGORIES = ('pedestrian',)
 
     main_dir = os.path.join('data', 'kitti')
     dir_gt = os.path.join(main_dir, 'gt')
-    path_train = os.path.join('splits', 'kitti_train.txt')
-    path_val = os.path.join('splits', 'kitti_val.txt')
-    dir_logs = os.path.join('data', 'logs')
     dir_fig = os.path.join('figures', 'results')
 
-    thresh_iou_monoloco = 0.3
-    thresh_iou_base = 0.3
-    thresh_conf_monoloco = 0.2
-    thresh_conf_base = 0.5
-
-    def __init__(self, args):
+    def __init__(self, args, dir_splits='splits'):
+        assert args.mode in ('mono', 'stereo'), "mode not recognized"
         self.mode = args.mode
-        assert self.mode in ('mono', 'stereo'), "mode not recognized"
         self.net = 'monstereo' if self.mode == 'stereo' else 'monoloco_pp'
         self.verbose = args.verbose
         self.save = args.save
         self.show = args.show
-        self.methods = list(self.OUR_METHODS + self.METHODS_MONO + self.METHODS_STEREO)
+        self.methods = [m for m in (*SELF_METHODS, *EXTERNAL_MONO, *EXTERNAL_STEREO)
+                        if self._has_results(m)]
 
-        os.makedirs(self.dir_logs, exist_ok=True)
-        now_time = datetime.datetime.now().strftime("%Y%m%d-%H%M")[2:]
-        self.path_results = os.path.join(self.dir_logs, 'eval-' + now_time + '.json')
+        dir_logs = os.path.join('data', 'logs')
+        os.makedirs(dir_logs, exist_ok=True)
+        stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M")[2:]
+        self.path_results = os.path.join(dir_logs, f'eval-{stamp}.json')
 
-        self.dic_thresh_iou = {m: (self.thresh_iou_monoloco if m in self.OUR_METHODS
-                                   else self.thresh_iou_base) for m in self.methods}
-        self.dic_thresh_conf = {m: (self.thresh_conf_monoloco if m in self.OUR_METHODS
-                                    else self.thresh_conf_base) for m in self.methods}
-        self.dic_thresh_conf['monopsr'] = self.dic_thresh_conf.get('monopsr', 0.5) + 0.4
-        for m in ('e2e-pl', 'oc-stereo', 'smoke', 'monodis'):
-            self.dic_thresh_conf[m] = -100
+        self.dic_thresh_iou = {m: _IOU_FLOOR for m in self.methods}
+        self.dic_thresh_conf = {
+            m: _CONF_OVERRIDES.get(
+                m, _CONF_FLOOR_SELF if m in SELF_METHODS else _CONF_FLOOR_EXTERNAL)
+            for m in self.methods}
+        self.dic_thresh_conf.update(
+            {k: v for k, v in _CONF_OVERRIDES.items() if k not in self.methods})
 
-        names_gt = tuple(os.listdir(self.dir_gt))
-        _, self.set_val = split_training(names_gt, self.path_train, self.path_val)
+        gt_names = tuple(os.listdir(self.dir_gt))
+        _, self.set_val = split_training(gt_names,
+                                         os.path.join(dir_splits, 'kitti_train.txt'),
+                                         os.path.join(dir_splits, 'kitti_val.txt'))
 
-        self.errors = self.dic_stds = self.dic_stats = self.dic_cnt = None
-        self.cnt_gt = self.category = None
-        self.cnt = 0
-        _filter_directories(self.main_dir, self.methods)
+        self.errors = self.dic_stds = self.dic_stats = None
+        self.dic_cnt = self.cnt_gt = None
+        self.category = None
+
+    def _has_results(self, method):
+        d = os.path.join(self.main_dir, method)
+        if not os.path.isdir(d):
+            print(f"\nMethod {method}. No directory found. Skipping it..")
+            return False
+        if not os.listdir(d):
+            print(f"\nMethod {method}. Directory is empty. Skipping it..")
+            return False
+        return True
 
     # ------------------------------------------------------------------
 
@@ -103,43 +127,137 @@ class EvalKitti:
             self.cnt_gt = defaultdict(int)
 
             for name in self.set_val:
-                path_gt = os.path.join(self.dir_gt, name)
-                self.name = name
-                out_gt = parse_ground_truth(path_gt, self.category)
-                boxes_gt, _, truncs_gt, occs_gt, _ = out_gt
-                for idx, box in enumerate(boxes_gt):
-                    mode = get_difficulty(box, truncs_gt[idx], occs_gt[idx])
-                    self.cnt_gt[mode] += 1
+                scene = self._load_scene(name)
+                for box, trunc, occ in zip(scene.boxes, scene.truncs, scene.occs):
+                    self.cnt_gt[get_difficulty(box, trunc, occ)] += 1
                     self.cnt_gt['all'] += 1
-
-                if out_gt[0]:
+                if scene.boxes:
                     for method in self.methods:
-                        path_method = os.path.join(self.main_dir, method, name)
-                        method_out = self._parse_txts(path_method, method=method)
-                        self._estimate_error(out_gt, method_out, method=method)
+                        self._score_method(scene, method, name)
 
-            for key in self.errors:
-                add_true_negatives(self.errors[key], self.cnt_gt['all'])
+            for method in self.errors:
+                self._pad_misses(self.errors[method], self.cnt_gt['all'])
                 for clst in self.CLUSTERS[:-1]:
                     try:
-                        get_statistics(self.dic_stats['test'][key][clst],
-                                       self.errors[key][clst],
-                                       self.dic_stds[key][clst], key)
+                        _cluster_stats(self.dic_stats['test'][method][clst],
+                                       self.errors[method][clst],
+                                       self.dic_stds[method][clst], method)
                     except ZeroDivisionError:
-                        print('\n' + '-' * 100 + f'\nERROR: method {key} at cluster '
-                              f'{clst} is empty\n' + '-' * 100 + '\n')
+                        print('\n' + '-' * 100 + f'\nERROR: method {method} at '
+                              f'cluster {clst} is empty\n' + '-' * 100 + '\n')
                         raise
 
             print('\n' + self.category.upper() + ':')
             self.show_statistics()
             self._save_results()
 
+    def _load_scene(self, name):
+        boxes, labels, truncs, occs, _ = parse_ground_truth(
+            os.path.join(self.dir_gt, name), self.category)
+        return _Scene(boxes, labels, truncs, occs)
+
+    # ------------------------------------------------------------------
+
+    def _read_detections(self, path, method):
+        """One method's txt for one scene -> _Detections (empty when absent)."""
+        det = _Detections([], [], [], [], [])
+        if method == 'psf':
+            path = os.path.splitext(path)[0] + '.png.txt'
+        try:
+            with open(path, 'r') as f:
+                raw_lines = f.readlines()
+        except FileNotFoundError:
+            return det
+
+        for raw in raw_lines:
+            if method == 'psf':
+                fields = raw.split(", ")
+                det.boxes.append([float(v) for v in fields[4:8]])
+                x, y, z = (float(v) for v in fields[11:14])
+                det.dds.append(math.sqrt(x * x + y * y + z * z))
+                det.cats.append('Pedestrian')
+                continue
+            fields = raw.split()
+            if not check_conditions(fields, category='pedestrian', method=method,
+                                    thresh=self.dic_thresh_conf[method]):
+                continue
+            det.boxes.append([float(v) for v in fields[4:8]] + [float(fields[15])])
+            x, y, z = (float(v) for v in fields[11:14])
+            det.dds.append(math.sqrt(x * x + y * y + z * z))
+            det.cats.append(fields[0])
+            if method in SELF_METHODS:
+                det.bis.append(float(fields[16]))
+                det.epis.append(float(fields[17]))
+            self.dic_cnt[method] += 1
+        return det
+
+    def _score_method(self, scene, method, name):
+        det = self._read_detections(os.path.join(self.main_dir, method, name), method)
+        matcher = get_iou_matches_matrix if method == 'psf' else get_iou_matches
+        matches = matcher(det.boxes, scene.boxes, self.dic_thresh_iou[method])
+
+        for det_idx, gt_idx in matches:
+            if det.cats[det_idx].lower() not in (self.category, 'pedestrian'):
+                continue
+            dd_gt = scene.labels[gt_idx][3]
+            zz_gt = scene.labels[gt_idx][2]
+            difficulty = get_difficulty(scene.boxes[gt_idx], scene.truncs[gt_idx],
+                                        scene.occs[gt_idx])
+            self._tally_error(det.dds[det_idx], dd_gt, difficulty, self.errors[method])
+            if method == 'monoloco':
+                # analytic floors ride along with the legacy-net evaluation
+                self._tally_error(dd_gt + get_task_error(zz_gt) ** 2, dd_gt,
+                                  difficulty, self.errors['task_error'])
+                self._tally_error(dd_gt + get_pixel_error(zz_gt), dd_gt,
+                                  difficulty, self.errors['pixel_error'])
+            if method in SELF_METHODS:
+                bi = det.bis[det_idx]
+                self._tally_spread(bi, max(det.epis[det_idx], bi),
+                                   det.dds[det_idx], dd_gt, difficulty,
+                                   self.dic_stds[method])
+
+    def _tally_error(self, dd, dd_gt, difficulty, errors):
+        diff = abs(dd - dd_gt)
+        for group in ('all', difficulty, find_cluster(dd_gt, self.CLUSTERS[4:])):
+            errors[group].append(diff)
+        for gate, key in ((0.5, '<0.5m'), (1, '<1m'), (2, '<2m')):
+            errors[key].append(1 if diff <= gate else 0)
+
+    def _tally_spread(self, std_ale, std_epi, dd, dd_gt, difficulty, dic_stds):
+        groups = ('all', find_cluster(dd_gt, self.CLUSTERS[4:]), difficulty)
+        miss = abs(dd - dd_gt)
+        std = std_epi if std_epi > 0 else std_ale
+        overestimates = dd_gt <= dd
+        task_error = get_task_error(dd)
+        for g in groups:
+            rec = dic_stds[g]
+            rec['ale'].append(std_ale)
+            rec['epi'].append(std_epi)
+            rec['epi_rel'].append(std_epi / dd)
+            rec['interval'].append(1 if miss <= std else 0)
+            if overestimates:
+                rec['at_risk'].append(1)
+                rec['at_risk-interval'].append(1 if miss <= std_epi else 0)
+            else:
+                rec['at_risk'].append(0)
+            rec['prec_1'].append(miss / (std_epi + 1e-4))
+            rec['prec_2'].append(abs(std_epi - task_error))
+
+    @staticmethod
+    def _pad_misses(err, cnt_gt):
+        """Count missed gt as ALP zeros so recall is comparable
+        (reference add_true_negatives, eval_kitti.py:416-425)."""
+        zeros = [0] * (cnt_gt - len(err['all']))
+        for key in ('<0.5m', '<1m', '<2m'):
+            err[key].extend(zeros)
+        err['matched'] = 100 * len(err['all']) / cnt_gt if cnt_gt else 0.0
+
+    # ------------------------------------------------------------------
+
     def _save_results(self):
         """Persist the eval statistics as JSON (the reference declares this path
         but never writes it, eval_kitti.py:65-67 — we do)."""
         def plain(d):
-            if isinstance(d, defaultdict):
-                return {k: plain(v) for k, v in d.items()}
             if isinstance(d, dict):
                 return {k: plain(v) for k, v in d.items()}
             if isinstance(d, (np.floating, np.integer)):
@@ -167,115 +285,10 @@ class EvalKitti:
 
     # ------------------------------------------------------------------
 
-    def _parse_txts(self, path, method):
-        boxes, dds, cat = [], [], []
-        if method == 'psf':
-            path = os.path.splitext(path)[0] + '.png.txt'
-        if method in self.OUR_METHODS:
-            bis, epis = [], []
-            output = (boxes, dds, cat, bis, epis)
-        else:
-            output = (boxes, dds, cat)
-        try:
-            with open(path, 'r') as ff:
-                for line_str in ff:
-                    if method == 'psf':
-                        line = line_str.split(", ")
-                        boxes.append([float(x) for x in line[4:8]])
-                        loc = [float(x) for x in line[11:14]]
-                        dds.append(math.sqrt(loc[0] ** 2 + loc[1] ** 2 + loc[2] ** 2))
-                        cat.append('Pedestrian')
-                    else:
-                        line = line_str.split()
-                        if check_conditions(line, category='pedestrian', method=method,
-                                            thresh=self.dic_thresh_conf[method]):
-                            box = [float(x) for x in line[4:8]]
-                            box.append(float(line[15]))
-                            loc = [float(x) for x in line[11:14]]
-                            cat.append(line[0])
-                            boxes.append(box)
-                            dds.append(math.sqrt(loc[0] ** 2 + loc[1] ** 2 + loc[2] ** 2))
-                            if method in self.OUR_METHODS:
-                                bis.append(float(line[16]))
-                                epis.append(float(line[17]))
-                            self.dic_cnt[method] += 1
-            return output
-        except FileNotFoundError:
-            return output
-
-    def _estimate_error(self, out_gt, out, method):
-        boxes_gt, ys, truncs_gt, occs_gt, _ = out_gt
-        if method in self.OUR_METHODS:
-            boxes, dds, cat, bis, epis = out
-        else:
-            boxes, dds, cat = out
-
-        if method == 'psf':
-            matches = get_iou_matches_matrix(boxes, boxes_gt, self.dic_thresh_iou[method])
-        else:
-            matches = get_iou_matches(boxes, boxes_gt, self.dic_thresh_iou[method])
-
-        for (idx, idx_gt) in matches:
-            dd_gt = ys[idx_gt][3]
-            zz_gt = ys[idx_gt][2]
-            mode = get_difficulty(boxes_gt[idx_gt], truncs_gt[idx_gt], occs_gt[idx_gt])
-            if cat[idx].lower() in (self.category, 'pedestrian'):
-                self.update_errors(dds[idx], dd_gt, mode, self.errors[method])
-                if method == 'monoloco':
-                    dd_task_error = dd_gt + (get_task_error(zz_gt)) ** 2
-                    dd_pixel_error = dd_gt + get_pixel_error(zz_gt)
-                    self.update_errors(dd_task_error, dd_gt, mode, self.errors['task_error'])
-                    self.update_errors(dd_pixel_error, dd_gt, mode, self.errors['pixel_error'])
-                if method in self.OUR_METHODS:
-                    epi = max(epis[idx], bis[idx])
-                    self.update_uncertainty(bis[idx], epi, dds[idx], dd_gt, mode,
-                                            self.dic_stds[method])
-
-    def update_errors(self, dd, dd_gt, cat, errors):
-        diff = abs(dd - dd_gt)
-        clst = find_cluster(dd_gt, self.CLUSTERS[4:])
-        errors['all'].append(diff)
-        errors[cat].append(diff)
-        errors[clst].append(diff)
-        errors['<0.5m'].append(1 if diff <= 0.5 else 0)
-        errors['<1m'].append(1 if diff <= 1 else 0)
-        errors['<2m'].append(1 if diff <= 2 else 0)
-
-    def update_uncertainty(self, std_ale, std_epi, dd, dd_gt, mode, dic_stds):
-        clst = find_cluster(dd_gt, self.CLUSTERS[4:])
-        for group in ('all', clst, mode):
-            dic_stds[group]['ale'].append(std_ale)
-            dic_stds[group]['epi'].append(std_epi)
-            dic_stds[group]['epi_rel'].append(std_epi / dd)
-
-        std = std_epi if std_epi > 0 else std_ale
-        inside = 1 if abs(dd - dd_gt) <= std else 0
-        for group in ('all', clst, mode):
-            dic_stds[group]['interval'].append(inside)
-
-        if dd_gt <= dd:
-            at_risk_in = 1 if abs(dd - dd_gt) <= std_epi else 0
-            for group in ('all', clst, mode):
-                dic_stds[group]['at_risk'].append(1)
-                dic_stds[group]['at_risk-interval'].append(at_risk_in)
-        else:
-            for group in ('all', clst, mode):
-                dic_stds[group]['at_risk'].append(0)
-
-        eps = 1e-4
-        task_error = get_task_error(dd)
-        prec_1 = abs(dd - dd_gt) / (std_epi + eps)
-        prec_2 = abs(std_epi - task_error)
-        for group in ('all', clst, mode):
-            dic_stds[group]['prec_1'].append(prec_1)
-            dic_stds[group]['prec_2'].append(prec_2)
-
-    # ------------------------------------------------------------------
-
     def show_statistics(self):
-        all_methods = self.methods + self.BASELINES
+        scored = self.methods + list(ANALYTIC_BOUNDS)
         print('-' * 90)
-        self.summary_table(all_methods)
+        self.summary_table(scored)
 
         for net in ('monoloco_pp', 'monstereo'):
             if net not in self.methods:
@@ -290,64 +303,56 @@ class EvalKitti:
                       f"Relative size is {st['epi_rel'] * 100:.1f} %")
 
         if self.verbose:
-            for key in all_methods:
-                if not self.errors[key]['all']:
+            for method in scored:
+                if not self.errors[method]['all']:
                     continue
-                print(key.upper())
+                print(method.upper())
                 for clst in self.CLUSTERS[:4]:
-                    st = self.dic_stats['test'][key][clst]
-                    print(f" {key} Average error in cluster {clst}: {st['mean']:.2f} "
-                          f"with a max error of {st['max']:.1f}, "
+                    st = self.dic_stats['test'][method][clst]
+                    print(f" {method} Average error in cluster {clst}: "
+                          f"{st['mean']:.2f} with a max error of {st['max']:.1f}, "
                           f"for {st['cnt']} annotations")
-                for perc in self.ALP_THRESHOLDS:
-                    if self.errors[key][perc]:
-                        print(f"{key} Instances with error {perc}: "
-                              f"{100 * average(self.errors[key][perc]):.2f} %")
-                print(f"\nMatched annotations: {self.errors[key]['matched']:.1f} %")
-                print(f" Detected annotations : {self.dic_cnt[key]}/{self.cnt_gt['all']} ")
+                for gate in self.ALP_THRESHOLDS:
+                    if self.errors[method][gate]:
+                        print(f"{method} Instances with error {gate}: "
+                              f"{100 * average(self.errors[method][gate]):.2f} %")
+                print(f"\nMatched annotations: {self.errors[method]['matched']:.1f} %")
+                print(f" Detected annotations : "
+                      f"{self.dic_cnt[method]}/{self.cnt_gt['all']} ")
                 print('-' * 100)
 
-    def summary_table(self, all_methods):
-        present = [k for k in all_methods if self.errors[k]['all']]
-        alp = [[str(100 * average(self.errors[key][perc]))[:5]
-                for perc in ['<0.5m', '<1m', '<2m']] for key in present]
-        ale = [[str(round(self.dic_stats['test'][key][clst]['mean'], 2))[:4] + ' [' +
-                str(round(self.dic_stats['test'][key][clst]['cnt']
-                          / max(self.cnt_gt[clst], 1) * 100))[:2] + '%]'
-                for clst in self.CLUSTERS[:4]] for key in present]
-        results = [[key] + alp[idx] + ale[idx] for idx, key in enumerate(present)]
+    def summary_table(self, scored):
+        present = [m for m in scored if self.errors[m]['all']]
+        rows = []
+        for method in present:
+            alp = [str(100 * average(self.errors[method][gate]))[:5]
+                   for gate in self.ALP_THRESHOLDS]
+            ale = []
+            for clst in self.CLUSTERS[:4]:
+                st = self.dic_stats['test'][method][clst]
+                matched_pct = str(round(st['cnt'] / max(self.cnt_gt[clst], 1) * 100))[:2]
+                ale.append(f"{str(round(st['mean'], 2))[:4]} [{matched_pct}%]")
+            rows.append([method] + alp + ale)
         if TABULATE is not None:
-            print(TABULATE(results, headers=self.HEADERS))
+            print(TABULATE(rows, headers=self.HEADERS))
         else:
-            print(_simple_table(results, self.HEADERS))
+            print(_fmt_table(rows, self.HEADERS))
         print('-' * 90 + '\n')
 
 
-def get_statistics(dic_stats, errors, dic_stds, key):
-    """Cluster statistics (reference eval_kitti.py:394-413)."""
+def _cluster_stats(dic_stats, errors, dic_stds, method):
+    """Per-cluster aggregation (reference eval_kitti.py:394-413)."""
     try:
         dic_stats['mean'] = average(errors)
         dic_stats['max'] = max(errors)
         dic_stats['cnt'] = len(errors)
     except (ValueError, ZeroDivisionError):
-        dic_stats['mean'] = -1
-        dic_stats['max'] = -1
-        dic_stats['cnt'] = -1
-    if key in ('monoloco', 'monoloco_pp', 'monstereo'):
+        dic_stats['mean'] = dic_stats['max'] = dic_stats['cnt'] = -1
+    if method in ('monoloco', 'monoloco_pp', 'monstereo'):
+        renamed = {'ale': 'std_ale', 'epi': 'std_epi'}
         for stat in ('ale', 'epi', 'epi_rel', 'interval', 'at_risk', 'prec_1', 'prec_2'):
-            name = {'ale': 'std_ale', 'epi': 'std_epi'}.get(stat, stat)
-            dic_stats[name] = average(dic_stds[stat]) if dic_stds[stat] else 0.0
-
-
-def add_true_negatives(err, cnt_gt):
-    """Pad ALP counters with missed detections (reference eval_kitti.py:416-425)."""
-    matched = len(err['all'])
-    missed = cnt_gt - matched
-    zeros = [0] * missed
-    err['<0.5m'].extend(zeros)
-    err['<1m'].extend(zeros)
-    err['<2m'].extend(zeros)
-    err['matched'] = 100 * matched / cnt_gt if cnt_gt else 0.0
+            dic_stats[renamed.get(stat, stat)] = \
+                average(dic_stds[stat]) if dic_stds[stat] else 0.0
 
 
 def extract_indices(idx_to_check, *args):
@@ -360,14 +365,3 @@ def extract_indices(idx_to_check, *args):
                 checks[idx_method] = True
                 indices.append(idx_pred)
     return all(checks), indices
-
-
-def _filter_directories(main_dir, methods):
-    for method in list(methods):
-        dir_method = os.path.join(main_dir, method)
-        if not os.path.exists(dir_method):
-            methods.remove(method)
-            print(f"\nMethod {method}. No directory found. Skipping it..")
-        elif not os.listdir(dir_method):
-            methods.remove(method)
-            print(f"\nMethod {method}. Directory is empty. Skipping it..")
