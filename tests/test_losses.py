@@ -4,6 +4,7 @@ masked-batch equivalence, auto-tune variant."""
 import math
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from monoloco_tpu.train.losses import (
@@ -84,3 +85,36 @@ def test_autotune_reduces_to_sum_at_zero_sigmas():
                              log_sigmas=log_sigmas)
     # with sigma=1: sum(l/2) + 0
     assert math.isclose(float(auto), float(base) / 2, rel_tol=1e-5)
+
+
+class TestAlternateLosses:
+    """Numeric checks for the unused-by-default Gaussian / weighted-L1
+    alternates (reference losses.py:145-238)."""
+
+    def test_gaussian_nll_hand_computed(self):
+        import jax.numpy as jnp
+        from monoloco_tpu.train.losses import gaussian_loss_terms
+        mu_si = jnp.array([[10.0, 2.0], [5.0, 0.01]])   # 2nd row floors si=0.1
+        x = jnp.array([[12.0], [5.0]])
+        v1 = (2.0 / 2.0) ** 2 / 2 + np.log(2.0 * np.sqrt(2 * np.pi))
+        v2 = 0.0 + np.log(0.1 * np.sqrt(2 * np.pi))
+        assert float(gaussian_loss_terms(mu_si, x)) == pytest.approx(
+            (v1 + v2) / 2, rel=1e-6)
+
+    def test_custom_l1_weights_near_range(self):
+        import jax
+        import jax.numpy as jnp
+        from monoloco_tpu.train.losses import custom_l1_loss
+        out = jnp.array([[10.0], [70.0]])
+        gt = jnp.array([[11.0], [71.0]])        # equal absolute errors
+        near = float(custom_l1_loss(out[:1], gt[:1]))
+        far = float(custom_l1_loss(out[1:], gt[1:]))
+        assert near == pytest.approx(1.0 - 10.0 / 78.0, rel=1e-6)
+        assert far == pytest.approx(1.0 - 70.0 / 78.0, rel=1e-6)
+        assert near > far                        # near-range emphasis
+        # the weight never vanishes (floored at 0.1) and is gradient-detached
+        assert float(custom_l1_loss(jnp.array([[200.0]]),
+                                    jnp.array([[201.0]]))) == pytest.approx(0.1)
+        g = jax.grad(lambda o: custom_l1_loss(o, gt))(out)
+        w = np.maximum(0.1, 1 - np.asarray(out) / 78.0)
+        np.testing.assert_allclose(np.asarray(g), -w / 2, rtol=1e-6)
