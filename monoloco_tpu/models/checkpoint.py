@@ -9,6 +9,8 @@ re-stacking the per-stage blocks along the scan axis. This allows published
 reference checkpoints to be served by the TPU inference path directly.
 """
 
+import json
+import os
 import pickle
 
 import numpy as np
@@ -20,22 +22,42 @@ from .loco import _stack
 FORMAT_TAG = 'monoloco_tpu-v1'
 
 
+def _is_orbax_path(path):
+    return str(path).endswith('.orbax')
+
+
 def save_checkpoint(path, params, bn_state, meta=None):
+    """Save (params, bn_state, meta). A path ending in `.orbax` writes an
+    orbax-checkpoint directory (the JAX ecosystem's async/multi-host format,
+    per SURVEY.md section 5) instead of the default pickle blob."""
     blob = {
         'format': FORMAT_TAG,
         'params': jax.tree_util.tree_map(np.asarray, params),
         'bn_state': jax.tree_util.tree_map(np.asarray, bn_state),
         'meta': meta or {},
     }
+    if _is_orbax_path(path):
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ckptr:
+            # orbax stores arrays; JSON-encode the (small) metadata dict
+            blob['meta'] = json.dumps(blob['meta'])
+            ckptr.save(os.path.abspath(path), blob, force=True)
+        return
     with open(path, 'wb') as f:
         pickle.dump(blob, f)
 
 
 def load_checkpoint(path, arch='loco'):
-    """Load a native or reference (torch state_dict) checkpoint.
-
-    Returns (params, bn_state, meta) as jnp pytrees.
+    """Load a native (pickle or .orbax directory) or reference (torch
+    state_dict) checkpoint. Returns (params, bn_state, meta) as jnp pytrees.
     """
+    if _is_orbax_path(path) and os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ckptr:
+            blob = ckptr.restore(os.path.abspath(path))
+        to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        return (to_jnp(blob['params']), to_jnp(blob['bn_state']),
+                json.loads(blob.get('meta', '{}')))
     try:
         with open(path, 'rb') as f:
             blob = pickle.load(f)

@@ -368,8 +368,15 @@ class Trainer:
                          'epoch': getattr(self, 'last_epoch', 0) + 1,
                          'version': __version__},
             }
-            with open(self.path_model, 'wb') as f:
-                pickle.dump(blob, f)
+            if str(self.path_model).endswith('.orbax'):
+                # Serving-format orbax directory (resume state stays
+                # pickle-only; see models/checkpoint.py).
+                from ..models.checkpoint import save_checkpoint
+                save_checkpoint(self.path_model, self.params, self.bn_state,
+                                meta=blob['meta'])
+            else:
+                with open(self.path_model, 'wb') as f:
+                    pickle.dump(blob, f)
             print('-' * 120)
             self.logger.info("\nmodel saved: {} \n".format(self.path_model))
         else:

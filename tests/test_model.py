@@ -1,6 +1,7 @@
 """Model tests: shapes, BN-fold parity, torch-compatible BatchNorm semantics,
 dropout scaling, checkpoint round trip."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -131,3 +132,34 @@ class TestCheckpoint:
         o1, _ = loco_forward(params, bn, x, train=False)
         o2, _ = loco_forward(p2, b2, x, train=False)
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+class TestCheckpointBackends:
+    def test_pickle_roundtrip_with_meta(self, tmp_path):
+        import jax
+        from monoloco_tpu.models import init_loco_params
+        from monoloco_tpu.models.checkpoint import save_checkpoint, load_checkpoint
+        params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 64, 2)
+        path = str(tmp_path / 'm.pkl')
+        save_checkpoint(path, params, bn, meta={'net': 'monoloco_pp', 'epoch': 7})
+        p2, bn2, meta = load_checkpoint(path)
+        assert meta == {'net': 'monoloco_pp', 'epoch': 7}
+        np.testing.assert_array_equal(np.asarray(params['w1']['w']),
+                                      np.asarray(p2['w1']['w']))
+        np.testing.assert_array_equal(np.asarray(bn['bn1']['mean']),
+                                      np.asarray(bn2['bn1']['mean']))
+
+    def test_orbax_roundtrip(self, tmp_path):
+        import jax
+        from monoloco_tpu.models import init_loco_params
+        from monoloco_tpu.models.checkpoint import save_checkpoint, load_checkpoint
+        params, bn = init_loco_params(jax.random.PRNGKey(1), 34, 9, 64, 2)
+        path = str(tmp_path / 'm.orbax')
+        save_checkpoint(path, params, bn, meta={'net': 'monoloco_pp'})
+        assert os.path.isdir(path)
+        p2, bn2, meta = load_checkpoint(path)
+        assert meta == {'net': 'monoloco_pp'}
+        np.testing.assert_array_equal(np.asarray(params['stages']['w1']['w']),
+                                      np.asarray(p2['stages']['w1']['w']))
+        np.testing.assert_array_equal(np.asarray(bn['stages']['bn2']['var']),
+                                      np.asarray(bn2['stages']['bn2']['var']))
