@@ -405,3 +405,39 @@ class TestGenerateWithBaselines:
         assert len(glob.glob('data/kitti/monstereo/*.txt')) == 7481
         # stereo association actually corrected some depths
         assert sum(gen.cnt_disparity.values()) > 0
+
+    def test_generate_with_mc_dropout_epi_column(self, tmp_path, monkeypatch):
+        """n_dropout > 0 takes the per-image path and writes nonzero epistemic
+        spreads into column 17 of the txts."""
+        import argparse
+        from make_synthetic_kitti import make_dataset
+        from monoloco_tpu.train import Trainer
+        from monoloco_tpu.eval import GenerateKitti
+
+        make_dataset(str(tmp_path), n_train=6, n_val=3, seed=41)
+        monkeypatch.chdir(tmp_path)
+        from monoloco_tpu.prep import PreprocessKitti
+        prep = PreprocessKitti(dir_ann='annotations', mode='mono', iou_min=0.3)
+        path_joints, _ = prep.run()
+        targs = argparse.Namespace(
+            joints=path_joints, mode='mono', out='data/outputs/mc.pkl', epochs=2,
+            bs=64, dropout=0.2, lr=0.002, sched_step=30, sched_gamma=0.98,
+            hidden_size=64, n_stage=2, r_seed=1, auto_tune_mtl=False,
+            no_save=False, print_loss=False)
+        t = Trainer(targs)
+        t.train()
+        t.evaluate()
+
+        gargs = argparse.Namespace(
+            mode='mono', model='data/outputs/mc.pkl', dir_ann='annotations',
+            n_dropout=2, dropout=0.2, hidden_size=64, n_stage=2,
+            baselines=False, generate_official=False, verbose=False,
+            save=False, show=False)
+        GenerateKitti(gargs).run()
+        epis = []
+        for txt in glob.glob('data/kitti/monoloco_pp/*.txt'):
+            for line in open(txt):
+                parts = line.split()
+                assert len(parts) == 18
+                epis.append(float(parts[17]))
+        assert epis and any(e > 0 for e in epis)
