@@ -146,3 +146,28 @@ def test_predict_accepts_reference_pifpaf_flags(tmp_path, monkeypatch):
     assert args.white_overlay == 0.8          # nargs='?' const
     assert args.monocolor_connections and args.disable_cuda
     assert args.fast_rescaling is False       # --precise-rescaling clears it
+
+
+def test_eval_nuscenes_reeval_cli(tmp_path, monkeypatch):
+    """`eval --dataset nuscenes` re-evaluates a trained model on a joints file
+    via Trainer.evaluate(load=True) (reference run.py:203-206)."""
+    import argparse
+    from monoloco_tpu.train import Trainer
+    joints = os.path.join(REPO, 'tests', 'fixture_joints-kitti-mono.json')
+    model = str(tmp_path / 'nu.pkl')
+    targs = argparse.Namespace(
+        joints=joints, mode='mono', out=model, epochs=2, bs=64, dropout=0.2,
+        lr=0.002, sched_step=30, sched_gamma=0.98, hidden_size=64, n_stage=2,
+        r_seed=1, auto_tune_mtl=False, no_save=False, print_loss=False)
+    t = Trainer(targs)
+    t.train()
+    t.evaluate()
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs('data/outputs')   # Trainer asserts the default out dir exists
+    monkeypatch.setattr(sys, 'argv', [
+        'monoloco_tpu.run', 'eval', '--dataset', 'nuscenes',
+        '--joints', joints, '--model', model, '--mode', 'mono',
+        '--hidden_size', '64', '--n_stage', '2'])
+    from monoloco_tpu.run import main
+    main()   # prints per-cluster stats; must not raise
