@@ -150,6 +150,7 @@ class TestCheckpointBackends:
                                       np.asarray(bn2['bn1']['mean']))
 
     def test_orbax_roundtrip(self, tmp_path):
+        pytest.importorskip('orbax.checkpoint')
         import jax
         from monoloco_tpu.models import init_loco_params
         from monoloco_tpu.models.checkpoint import save_checkpoint, load_checkpoint
