@@ -33,6 +33,34 @@ def test_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_self_provisions_virtual_mesh():
+    """The driver calls dryrun_multichip with ONE real chip available; the
+    function must re-exec itself onto a virtual n-device CPU backend rather
+    than assert (round-1 MULTICHIP failure). Simulate by launching a parent
+    process pinned to a single CPU device."""
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env['PALLAS_AXON_POOL_IPS'] = ''
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=1'
+    env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
+    env.pop('_MONOLOCO_DRYRUN_CHILD', None)
+    snippet = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(4)\n"
+    )
+    proc = subprocess.run([sys.executable, '-c', snippet], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=560)
+    assert proc.returncode == 0, proc.stderr
+    assert 'dp2xtp2 train step ok' in proc.stdout
+
+
 class TestDataParallelTrainer:
     def test_trainer_with_mesh_matches_shapes(self, tmp_path):
         """Full Trainer with the batch sharded over 8 devices: one epoch runs,
