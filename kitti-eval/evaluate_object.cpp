@@ -670,28 +670,33 @@ int main(int argc, char *argv[]) {
       // difficulty bin has no ground truth.
       vector<double> zeros(N_SAMPLE_PTS, 0.0);
       prec_rows.push_back(r.ok ? r.precision : zeros);
-      if (aos_available) {
-        aos_rows.push_back(r.ok && !r.aos.empty() ? r.aos : zeros);
-        mppe_rows.push_back(r.ok && !r.mppe.empty() ? r.mppe : zeros);
+      if (aos_available && r.ok && !r.aos.empty()) {
+        aos_rows.push_back(r.aos);
+        mppe_rows.push_back(r.mppe);
       }
-      if (analyze_recall)
-        iou_rows.push_back(r.ok && !r.recalls_vs_iou.empty()
-                               ? r.recalls_vs_iou
-                               : vector<double>(N_IOU_SAMPLE_PTS, 0.0));
+      if (analyze_recall && r.ok && !r.recalls_vs_iou.empty())
+        iou_rows.push_back(r.recalls_vs_iou);
       const char *diffs[4] = {"easy", "moderate", "hard", "all"};
       if (r.ok)
         printf("  AP(%s) = %.2f\n", diffs[d], 100.0 * average_ap(r.precision));
     }
+    // File-set and row-layout contract of the reference devkit: per task a
+    // precision file plus (image-metric tasks) orientation/MPPE companions,
+    // and an iour recall-vs-IoU file for every task — each suffixed with the
+    // task variant ("", "_1%", "_ground", ...); rows appear only for
+    // difficulty bins that evaluated (reference evaluate_object.cpp:236-268,
+    // 1224-1228, 1293-1297, 1361-1362, 1389-1390).
+    string suffix = task.param.substr(string("detection").size());
     write_rows(result_dir + "/stats_" + CLASS_NAME + "_" + task.param + ".txt",
                prec_rows);
-    if (task.param == "detection") {
-      if (!aos_rows.empty())
-        write_rows(result_dir + "/stats_" + CLASS_NAME + "_orientation.txt", aos_rows);
-      if (!mppe_rows.empty())
-        write_rows(result_dir + "/stats_" + CLASS_NAME + "_mppe.txt", mppe_rows);
-      if (!iou_rows.empty())
-        write_rows(result_dir + "/stats_" + CLASS_NAME + "_iour.txt", iou_rows);
+    if (aos_available) {
+      write_rows(result_dir + "/stats_" + CLASS_NAME + "_orientation" + suffix +
+                     ".txt", aos_rows);
+      write_rows(result_dir + "/stats_" + CLASS_NAME + "_mppe" + suffix + ".txt",
+                 mppe_rows);
     }
+    write_rows(result_dir + "/stats_" + CLASS_NAME + "_iour" + suffix + ".txt",
+               iou_rows);
   }
 
   // Recall vs distance sweep (MODERATE difficulty, plain detection metric):
