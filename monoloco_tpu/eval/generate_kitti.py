@@ -40,7 +40,8 @@ class GenerateKitti:
         self.net = 'monstereo' if args.mode == 'stereo' else 'monoloco_pp'
         self.model = Loco(model=args.model, mode=args.mode,
                           n_dropout=args.n_dropout, p_dropout=args.dropout,
-                          linear_size=args.hidden_size, n_stage=args.n_stage)
+                          linear_size=args.hidden_size, n_stage=args.n_stage,
+                          mesh=getattr(args, 'mesh', None))
         self.dir_ann = args.dir_ann
         self.generate_official = getattr(args, 'generate_official', False)
         assert os.listdir(self.dir_ann), "Annotation directory is empty"
@@ -76,10 +77,11 @@ class GenerateKitti:
                 make_new_directory(d)
                 dir_out[name] = d
 
-        # Monocular generation without baselines or MC-dropout: run whole image
-        # batches as single device programs (engine.forward_batch) instead of
-        # one dispatch per image. (MC-dropout epi needs the per-image path.)
-        if (self.net == 'monoloco_pp' and not self.baselines['mono']
+        # Generation without baselines or MC-dropout: run whole image batches
+        # (mono AND stereo all-vs-all) as single device programs
+        # (engine.forward_batch) instead of one dispatch per image — optionally
+        # sharded over a device mesh. (MC-dropout epi needs the per-image path.)
+        if (self.net in ('monoloco_pp', 'monstereo') and not self.baselines['mono']
                 and self.model.n_dropout == 0):
             return self._run_batched(dir_out)
 
@@ -146,8 +148,10 @@ class GenerateKitti:
             create_empty_files(dir_out, self.net)
 
     def _run_batched(self, dir_out, chunk=64):
-        """Batched monocular generation: load all annotations, forward whole
-        image chunks in one program each, then write the txts."""
+        """Batched generation: load all annotations, forward whole image
+        chunks (mono or stereo) in one device program each — sharded over the
+        mesh's data axis when one is set — then write the txts."""
+        stereo = self.net == 'monstereo'
         cnt_ann = cnt_file = cnt_no_file = 0
         loaded = []
         for basename in self.set_basename:
@@ -158,13 +162,20 @@ class GenerateKitti:
             if not keypoints:
                 cnt_no_file += 1
                 continue
-            loaded.append((basename, boxes, keypoints, kk, tt, cat))
+            keypoints_r = None
+            if stereo:
+                annotations_r, _, _ = factory_file(path_calib, self.dir_ann,
+                                                   basename, ann_type='right')
+                _, keypoints_r = preprocess_pifpaf(annotations_r,
+                                                   im_size=(1242, 374))
+            loaded.append((basename, boxes, keypoints, kk, tt, cat, keypoints_r))
 
         for start in range(0, len(loaded), chunk):
             batch = loaded[start:start + chunk]
-            outs = self.model.forward_batch([b[2] for b in batch],
-                                            [b[3] for b in batch])
-            for (basename, boxes, keypoints, kk, tt, cat), dic_out in zip(batch, outs):
+            outs = self.model.forward_batch(
+                [b[2] for b in batch], [b[3] for b in batch],
+                keypoints_r_list=[b[6] for b in batch] if stereo else None)
+            for (basename, boxes, keypoints, kk, tt, cat, _), dic_out in zip(batch, outs):
                 if dic_out is None:
                     continue
                 dic_out['epi'] = [0.] * len(boxes)

@@ -87,9 +87,12 @@ class Loco:
     }
 
     def __init__(self, model, mode='mono', net=None, device=None, n_dropout=0,
-                 p_dropout=0.2, linear_size=1024, n_stage=3):
+                 p_dropout=0.2, linear_size=1024, n_stage=3, mesh=None):
         assert mode in ('mono', 'stereo'), "mode not recognized"
         self.mode = mode
+        # Optional jax.sharding.Mesh: forward_batch shards the image axis over
+        # its 'data' axis (offline generation is trivially data-parallel).
+        self.mesh = mesh
         if net is None:
             self.net = 'monoloco_pp' if mode == 'mono' else 'monstereo'
         else:
@@ -265,22 +268,66 @@ class Loco:
 
         return jax.jit(program)
 
-    def forward_batch(self, keypoints_list, kk_list):
+    def _batch_stereo_program(self):
+        """Whole-batch MonStereo: the m x r all-vs-all expansion, MLP, and
+        per-left aux-argmax selection are vmapped over images, so a mixed
+        batch of crowds is ONE device program (the quadratic hot spot the
+        reference runs per-image in Python, reference process.py:25-44)."""
+
+        def program(folded, kps_l, kps_r, r_mask, kk):
+            with jax.default_matmul_precision(_MATMUL_PRECISION):
+                b, m, _, _ = kps_l.shape
+                r = kps_r.shape[1]
+
+                def pair_inputs(kl, kr, k):
+                    inputs, _ = preprocess_monstereo(kl, kr, k)   # (m*r, 68)
+                    return inputs
+
+                inputs = jax.vmap(pair_inputs)(kps_l, kps_r, kk)  # (B, m*r, 68)
+                raw = _mlp_forward(folded, inputs.reshape(b * m * r, -1), 'loco')
+                out4 = raw.reshape(b, m, r, raw.shape[-1])
+                aux = jnp.where(r_mask[:, None, :], out4[:, :, :, -1], -jnp.inf)
+                best = jnp.argmax(aux, axis=2)                    # (B, m)
+                selected = jnp.take_along_axis(
+                    out4, best[:, :, None, None], axis=2)[:, :, 0, :]
+                return extract_outputs(selected.reshape(b * m, -1))
+
+        return jax.jit(program)
+
+    def _shard_batch_args(self, *arrays):
+        """Place batched host arrays on device; with a mesh, split the leading
+        image axis over 'data' so GSPMD partitions the whole program."""
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        from ..parallel import shard_batch
+        return tuple(shard_batch(np.asarray(a), self.mesh) for a in arrays)
+
+    def forward_batch(self, keypoints_list, kk_list, keypoints_r_list=None):
         """Run many images in one device program.
 
         keypoints_list: per-image (m_i, 3, 17) arrays; kk_list: per-image 3x3
-        intrinsics. Returns a list of per-image output dicts identical to
-        `forward`'s. Images pad to a shared detection bucket, so any mix of
-        crowd sizes reuses one compiled program per (batch-bucket, m-bucket).
+        intrinsics; keypoints_r_list (monstereo): per-image right-camera
+        keypoints (r_i, 3, 17), entries may be None/empty (the left keypoints
+        are duplicated, matching `forward`). Returns a list of per-image
+        output dicts identical to `forward`'s. Images pad to shared detection
+        buckets, so any mix of crowd sizes reuses one compiled program per
+        (batch-bucket, m-bucket[, r-bucket]).
         """
-        assert self.net in ('monoloco_pp', 'monoloco_p'), \
-            "forward_batch supports the monocular nets"
+        assert self.net in ('monoloco_pp', 'monoloco_p', 'monstereo'), \
+            "forward_batch supports the monocular nets and monstereo"
+        stereo = self.net == 'monstereo'
         counts = [0 if k is None else len(k) for k in keypoints_list]
         n_img = len(keypoints_list)
         if n_img == 0:
             return []
         m_bucket = _bucket(max(max(counts), 1))
         b_bucket = _bucket(n_img, minimum=1)
+        if self.mesh is not None:
+            # The image axis splits over the mesh's data axis: pad the batch
+            # bucket up to a multiple of the device count.
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            b_bucket = max(b_bucket, n_dev)
+            b_bucket += (-b_bucket) % n_dev
         kps = np.zeros((b_bucket, m_bucket, 3, 17), np.float32)
         kks = np.zeros((b_bucket, 3, 3), np.float32)
         kks[:] = np.eye(3)
@@ -289,10 +336,35 @@ class Loco:
                 kps[i, :counts[i]] = np.asarray(k, np.float32)
             kks[i] = np.asarray(kk, np.float32)
 
-        if 'batch' not in self._infer_cache:
-            self._infer_cache['batch'] = self._batch_program()
-        dic = jax.device_get(self._infer_cache['batch'](
-            self.folded, jnp.asarray(kps), jnp.asarray(kks)))
+        if stereo:
+            if keypoints_r_list is None:
+                keypoints_r_list = [None] * n_img
+            counts_r = [0 if k is None else len(k) for k in keypoints_r_list]
+            r_bucket = _bucket(max(max(counts_r), 1))
+            kps_r = np.zeros((b_bucket, r_bucket, 3, 17), np.float32)
+            r_mask = np.zeros((b_bucket, r_bucket), bool)
+            for i in range(n_img):
+                if counts_r[i]:
+                    kps_r[i, :counts_r[i]] = np.asarray(keypoints_r_list[i],
+                                                        np.float32)
+                    r_mask[i, :counts_r[i]] = True
+                elif counts[i]:
+                    # No right detections: duplicate the first left keypoints,
+                    # as the per-image forward does (reference net.py:113-116).
+                    kps_r[i, 0] = kps[i, 0]
+                    r_mask[i, 0] = True
+            kps_j, kps_r_j, r_mask_j, kks_j = self._shard_batch_args(
+                kps, kps_r, r_mask, kks)
+            if 'batch_stereo' not in self._infer_cache:
+                self._infer_cache['batch_stereo'] = self._batch_stereo_program()
+            dic = jax.device_get(self._infer_cache['batch_stereo'](
+                self.folded, kps_j, kps_r_j, r_mask_j, kks_j))
+        else:
+            kps_j, kks_j = self._shard_batch_args(kps, kks)
+            if 'batch' not in self._infer_cache:
+                self._infer_cache['batch'] = self._batch_program()
+            dic = jax.device_get(self._infer_cache['batch'](
+                self.folded, kps_j, kks_j))
 
         outs = []
         for i in range(n_img):

@@ -177,8 +177,30 @@ def cli():
                              action='store_true')
     eval_parser.add_argument('--generate_official', action='store_true',
                              help='whether to add empty txt files for official evaluation')
+    eval_parser.add_argument('--dp_devices', type=int, default=1,
+                             help='shard txt generation over N devices (data parallelism)')
 
     return parser.parse_args()
+
+
+def _build_mesh(args):
+    """Build args.mesh from --dp_devices/--tp_devices (1-D data mesh or 2-D
+    data x model mesh), validating device availability."""
+    dp = getattr(args, 'dp_devices', 1)
+    tp = getattr(args, 'tp_devices', 1)
+    if dp <= 1 and tp <= 1:
+        args.mesh = None
+        return
+    import jax
+    from .parallel import make_mesh, make_mesh_2d
+    devices = jax.devices()
+    needed = dp * tp
+    if len(devices) < needed:
+        raise SystemExit(
+            f"--dp_devices {dp} x --tp_devices {tp} requested but only "
+            f"{len(devices)} devices are available")
+    args.mesh = (make_mesh_2d(dp, tp, devices) if tp > 1
+                 else make_mesh(devices[:dp]))
 
 
 def main():
@@ -214,18 +236,7 @@ def main():
             hyp_tuning.train(args)
         else:
             from .train import Trainer
-            tp = getattr(args, 'tp_devices', 1)
-            if args.dp_devices > 1 or tp > 1:
-                import jax
-                from .parallel import make_mesh, make_mesh_2d
-                devices = jax.devices()
-                needed = args.dp_devices * tp
-                if len(devices) < needed:
-                    raise SystemExit(
-                        f"--dp_devices {args.dp_devices} x --tp_devices {tp} "
-                        f"requested but only {len(devices)} devices are available")
-                args.mesh = (make_mesh_2d(args.dp_devices, tp, devices) if tp > 1
-                             else make_mesh(devices[:args.dp_devices]))
+            _build_mesh(args)
             training = Trainer(args)
             _ = training.train()
             _ = training.evaluate()
@@ -249,6 +260,7 @@ def main():
         else:
             if args.generate:
                 from .eval.generate_kitti import GenerateKitti
+                _build_mesh(args)
                 kitti_txt = GenerateKitti(args)
                 kitti_txt.run()
             if args.dataset == 'kitti':

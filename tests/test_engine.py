@@ -169,3 +169,28 @@ class TestForwardBatch:
 
     def test_empty_batch(self, mono_net):
         assert mono_net.forward_batch([], []) == []
+
+    def test_stereo_matches_per_image_forward(self, stereo_net):
+        """Batched MonStereo (vmapped all-vs-all + aux argmax) must reproduce
+        the per-image stereo forward across mixed crowd/right-candidate sizes,
+        including an image with no right detections."""
+        kps_list = [_keypoints(3, seed=1), _keypoints(6, seed=2),
+                    _keypoints(2, seed=3)]
+        kps_r_list = [_keypoints(4, seed=4), None, _keypoints(2, seed=5)]
+        kk2 = [[700., 0., 590.], [0., 700., 170.], [0., 0., 1.]]
+        kks = [KK, kk2, KK]
+        batch_out = stereo_net.forward_batch(kps_list, kks, kps_r_list)
+        for kps, kps_r, kk, out_b in zip(kps_list, kps_r_list, kks, batch_out):
+            out_s = stereo_net.forward(kps, kk, keypoints_r=kps_r)
+            np.testing.assert_allclose(np.asarray(out_b['d']),
+                                       np.asarray(out_s['d']), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(out_b['aux']),
+                                       np.asarray(out_s['aux']), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(out_b['xyzd']),
+                                       np.asarray(out_s['xyzd']), atol=1e-4)
+
+    def test_stereo_empty_image_in_batch(self, stereo_net):
+        outs = stereo_net.forward_batch([_keypoints(2), []], [KK, KK],
+                                        [_keypoints(3), None])
+        assert outs[0]['d'].shape == (2, 1)
+        assert outs[1] is None

@@ -146,6 +146,52 @@ class TestTensorParallel:
         assert 'dp2xtp2' in capsys.readouterr().out
 
 
+class TestMeshShardedGeneration:
+    """GenerateKitti sharded over the 'data' mesh axis must produce
+    byte-identical txts to single-device (SURVEY 2.9: offline eval generation
+    is trivially parallel over images)."""
+
+    def _generate(self, mode, mesh, out_dir):
+        import shutil
+        from monoloco_tpu.eval import GenerateKitti
+        net = 'monstereo' if mode == 'stereo' else 'monoloco_pp'
+        args = argparse.Namespace(
+            mode=mode, model='data/outputs/mesh_gen.pkl', dir_ann='annotations',
+            n_dropout=0, dropout=0.2, hidden_size=64, n_stage=2,
+            baselines=False, generate_official=False, verbose=False,
+            save=False, show=False, mesh=mesh)
+        GenerateKitti(args).run()
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.copytree(os.path.join('data', 'kitti', net), out_dir)
+
+    @pytest.mark.parametrize('mode', ['mono', 'stereo'])
+    def test_byte_identical_txts(self, mode, tmp_path, monkeypatch):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(HERE), 'tools'))
+        from make_synthetic_kitti import make_dataset
+        from monoloco_tpu.models import init_loco_params
+        from monoloco_tpu.models.checkpoint import save_checkpoint
+        from monoloco_tpu.parallel import make_mesh
+
+        make_dataset(str(tmp_path), n_train=4, n_val=5, seed=17)
+        monkeypatch.chdir(tmp_path)
+        os.makedirs('data/outputs', exist_ok=True)
+        in_dim, out_dim = (68, 10) if mode == 'stereo' else (34, 9)
+        p, bn = init_loco_params(jax.random.PRNGKey(2), in_dim, out_dim, 64, 2)
+        save_checkpoint('data/outputs/mesh_gen.pkl', p, bn, meta={})
+
+        self._generate(mode, None, 'single')
+        self._generate(mode, make_mesh(), 'sharded')
+
+        singles = sorted(os.listdir('single'))
+        shardeds = sorted(os.listdir('sharded'))
+        assert singles == shardeds and singles
+        for name in singles:
+            with open(os.path.join('single', name), 'rb') as a, \
+                 open(os.path.join('sharded', name), 'rb') as b:
+                assert a.read() == b.read(), name
+
+
 def test_graft_entry_compiles_and_runs():
     """entry() returns a jittable forward step and example args (the driver's
     single-chip compile-check contract)."""
