@@ -47,6 +47,65 @@ def save_checkpoint(path, params, bn_state, meta=None):
         pickle.dump(blob, f)
 
 
+def save_train_state(path, blob):
+    """Persist the FULL training blob: serving weights (best-val 'params' /
+    'bn_state'), resume state ('opt_state', 'final_params', 'final_bn_state',
+    'log_sigmas'), and 'meta' (epoch, mode, ...). Pickle paths store the blob
+    verbatim; `.orbax` paths write everything into the orbax directory so
+    --resume round-trips from it (SURVEY.md section 5 checkpoint/resume).
+
+    Orbax encodings: 'meta' is JSON (strings aren't arrays); 'log_sigmas' is
+    flag-prefixed ([0.] when absent, [1., *values] when auto-tune) because
+    orbax rejects zero-size arrays and the pytree structure must match the
+    restore template regardless of the auto-tune setting.
+    """
+    if not _is_orbax_path(path):
+        with open(path, 'wb') as f:
+            pickle.dump(blob, f)
+        return
+    import orbax.checkpoint as ocp
+    b = {k: v for k, v in blob.items()
+         if k not in ('format', 'meta', 'log_sigmas')}
+    b['meta'] = json.dumps(blob.get('meta', {}))
+    ls = blob.get('log_sigmas')
+    b['log_sigmas'] = (
+        np.concatenate([np.ones(1, np.float32), np.asarray(ls, np.float32)])
+        if ls is not None else np.zeros(1, np.float32))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), b, force=True)
+
+
+def load_train_state(path, params_template, bn_template, opt_state_template):
+    """Load a full training blob saved by save_train_state (pickle or .orbax).
+
+    The templates (freshly initialized params/bn/opt_state of the resuming
+    Trainer) give orbax the pytree structure, so optax's nested namedtuple
+    optimizer state restores with its exact structure. Returns a dict in the
+    pickle-blob layout ('log_sigmas' is None or an array, 'meta' a dict).
+    """
+    if not _is_orbax_path(path):
+        with open(path, 'rb') as f:
+            return pickle.load(f)
+    import orbax.checkpoint as ocp
+    to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    template = {
+        'params': to_np(params_template),
+        'bn_state': to_np(bn_template),
+        'opt_state': to_np(opt_state_template),
+        'final_params': to_np(params_template),
+        'final_bn_state': to_np(bn_template),
+        'log_sigmas': np.zeros(1, np.float32),
+        'meta': '',
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        blob = ckptr.restore(os.path.abspath(path), item=template)
+    ls = np.asarray(blob['log_sigmas'])
+    blob['log_sigmas'] = ls[1:] if ls[0] > 0.5 else None
+    blob['meta'] = json.loads(blob['meta'] or '{}')
+    blob['format'] = FORMAT_TAG
+    return blob
+
+
 def load_checkpoint(path, arch='loco'):
     """Load a native (pickle or .orbax directory) or reference (torch
     state_dict) checkpoint. Returns (params, bn_state, meta) as jnp pytrees.

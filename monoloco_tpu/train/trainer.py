@@ -119,9 +119,9 @@ class Trainer:
         # Mid-training resume (an improvement over the reference, which saves
         # model weights only — SURVEY.md section 5 checkpoint/resume).
         if self.resume:
-            import pickle
-            with open(self.resume, 'rb') as f:
-                blob = pickle.load(f)
+            from ..models.checkpoint import load_train_state
+            blob = load_train_state(self.resume, self.params, self.bn_state,
+                                    self.opt_state)
             to_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
             # Continue from the FINAL training state (matching opt_state);
             # 'params' holds the best-validation weights for serving.
@@ -349,7 +349,6 @@ class Trainer:
 
         if not (self.no_save or load):
             self.path_model = self.path_out
-            import pickle
             blob = {
                 'format': 'monoloco_tpu-v1',
                 # Serving weights: the best-validation epoch (reference contract).
@@ -368,15 +367,10 @@ class Trainer:
                          'epoch': getattr(self, 'last_epoch', 0) + 1,
                          'version': __version__},
             }
-            if str(self.path_model).endswith('.orbax'):
-                # Serving-format orbax directory (resume state stays
-                # pickle-only; see models/checkpoint.py).
-                from ..models.checkpoint import save_checkpoint
-                save_checkpoint(self.path_model, self.params, self.bn_state,
-                                meta=blob['meta'])
-            else:
-                with open(self.path_model, 'wb') as f:
-                    pickle.dump(blob, f)
+            # Both formats carry the full blob: serving weights AND resume
+            # state (--resume round-trips from either path).
+            from ..models.checkpoint import save_train_state
+            save_train_state(self.path_model, blob)
             print('-' * 120)
             self.logger.info("\nmodel saved: {} \n".format(self.path_model))
         else:

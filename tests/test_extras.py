@@ -147,3 +147,19 @@ def test_resume_reproduces_straight_run(tmp_path):
     v_b = np.asarray(t_b2._val_metrics(t_b2.params, t_b2.log_sigmas, t_b2.bn_state,
                                        t_b2.x_va, t_b2.y_va))
     np.testing.assert_allclose(v_a, v_b, rtol=1e-4, atol=1e-4)
+
+    # Resume from an .orbax training checkpoint must reproduce the
+    # pickle-resume trajectory exactly (full resume state — opt_state,
+    # final params/BN, epoch — round-trips through the orbax directory).
+    import pytest
+    pytest.importorskip('orbax.checkpoint')
+    t_c1 = Trainer(make_args(2, str(tmp_path / 'c1.orbax')))
+    t_c1.train()
+    t_c1.evaluate()
+    t_c2 = Trainer(make_args(4, str(tmp_path / 'c2.pkl'),
+                             resume=str(tmp_path / 'c1.orbax')))
+    assert t_c2.start_epoch == 2
+    t_c2.train()
+    v_c = np.asarray(t_c2._val_metrics(t_c2.params, t_c2.log_sigmas, t_c2.bn_state,
+                                       t_c2.x_va, t_c2.y_va))
+    np.testing.assert_allclose(v_c, v_b, rtol=0, atol=0)
