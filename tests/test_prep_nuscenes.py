@@ -137,6 +137,85 @@ def test_preprocess_nuscenes_run_with_mock(tmp_path, monkeypatch):
     assert entry['K'] == KK.tolist()
 
 
+def test_preprocess_nuscenes_with_mock_devkit(tmp_path, monkeypatch):
+    """Full run through the REAL factory(): the mock devkit package is
+    installed in sys.modules, so NuScenes instantiation, split resolution,
+    the scene/sample/camera walk, category filtering, IoU matching and both
+    train/val phases are exercised end-to-end on coherent geometry."""
+    import mock_nuscenes_devkit as mock
+    import monoloco_tpu.prep.preprocess_nu as nu
+
+    added = mock.install()
+    try:
+        dir_ann = tmp_path / 'ann'
+        dir_nu = tmp_path / 'nuscenes'
+        dir_ann.mkdir()
+        dir_nu.mkdir()
+        n_people = 0
+        for sd in mock.all_sd_tokens():
+            anns = [mock.pifpaf_annotation(b) for b in mock.boxes_for(sd)
+                    if b.name.startswith('human')]
+            n_people += len(anns)
+            with open(dir_ann / (mock.image_name(sd) + '.predictions.json'),
+                      'w') as f:
+                json.dump(anns, f)
+        assert n_people > 4  # the seeded world is non-trivial
+
+        monkeypatch.chdir(tmp_path)
+        prep = nu.PreprocessNuscenes(dir_ann=str(dir_ann),
+                                     dir_nuscenes=str(dir_nu),
+                                     dataset='nuscenes', iou_min=0.3)
+        prep.run()
+    finally:
+        mock.uninstall(added)
+
+    with open(prep.path_joints) as f:
+        dic_jo = json.load(f)
+    # Both phases populated (scene-0001 -> train, scene-0002 -> val).
+    assert len(dic_jo['train']['X']) > 0
+    assert len(dic_jo['val']['X']) > 0
+    assert len(dic_jo['train']['X']) + len(dic_jo['val']['X']) == n_people
+    for phase in ('train', 'val'):
+        for x, y, k in zip(dic_jo[phase]['X'], dic_jo[phase]['Y'],
+                           dic_jo[phase]['K']):
+            assert len(x) == 34 and len(y) == 10
+            assert k == mock.KK.tolist()
+        # Spherical labels: r >= z, plausible ranges, normalized hwl ~ 0
+        ys = np.array(dic_jo[phase]['Y'])
+        assert (ys[:, 3] >= ys[:, 2] - 1e-6).all()
+        assert (ys[:, 2] > 5).all() and (ys[:, 2] < 36).all()
+        assert np.abs(ys[:, 4:7]).max() < 3
+    # Clusters partition the annotations by gt distance.
+    n_clst = sum(len(v['X']) for v in dic_jo['train']['clst'].values())
+    assert n_clst == len(dic_jo['train']['X'])
+
+    with open(prep.path_names) as f:
+        dic_names = json.load(f)
+    assert len(dic_names) == len(mock.all_sd_tokens())
+
+
+def test_nuscenes_teaser_split_factory(tmp_path, monkeypatch):
+    """factory('nuscenes_teaser') reads the teaser scene list + split JSON
+    (reference preprocess_nu.py:185-209)."""
+    import mock_nuscenes_devkit as mock
+    from monoloco_tpu.prep.preprocess_nu import factory
+
+    added = mock.install()
+    try:
+        monkeypatch.chdir(tmp_path)
+        os.makedirs('splits')
+        with open('splits/nuscenes_teaser_scenes.txt', 'w') as f:
+            f.write('tok1\ntok2\n')
+        with open('splits/split_nuscenes_teaser.json', 'w') as f:
+            json.dump({'train': ['tok1'], 'val': ['tok2']}, f)
+        nusc, scenes, split_train, split_val = factory('nuscenes_teaser',
+                                                       str(tmp_path))
+        assert [s['token'] for s in scenes] == ['tok1', 'tok2']
+        assert split_train == ['scene-0001'] and split_val == ['scene-0002']
+    finally:
+        mock.uninstall(added)
+
+
 def test_extract_social_padding():
     from monoloco_tpu.prep.preprocess_nu import extract_social
 

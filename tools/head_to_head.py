@@ -37,6 +37,15 @@ def make_root(root, mode):
     for sub in (('data', 'arrays'), ('data', 'outputs'), ('data', 'logs'),
                 ('data', 'models'), ('figures', 'results')):
         os.makedirs(os.path.join(root, *sub), exist_ok=True)
+    # The reference's split_training unconditionally removes three bad KITTI
+    # ids from the train split (reference utils/kitti.py:122-124) and KeyErrors
+    # if absent. Give them empty gt files + split entries; both pipelines then
+    # drop them from the split identically (no annotations are ever read).
+    bad = ('000518', '005692', '003009')
+    with open(os.path.join(root, 'splits', 'kitti_train.txt'), 'a') as f:
+        f.write('\n'.join(bad) + '\n')
+    for b in bad:
+        open(os.path.join(root, 'data', 'kitti', 'gt', b + '.txt'), 'w').close()
 
 
 def train_args(mode, seed, path_joints, out):
@@ -71,6 +80,14 @@ def run_ref(mode, root):
     from monoloco.eval.generate_kitti import GenerateKitti
     from monoloco.eval.eval_kitti import EvalKitti
 
+    # Latent reference bug: get_statistics catches ValueError (max of an
+    # empty cluster -> -1 sentinel) but average([]) raises ZeroDivisionError
+    # first. The synthetic set has no 'hard' gt; make average return the
+    # intended -1 sentinel on empty lists (non-empty clusters unaffected).
+    import monoloco.eval.eval_kitti as ek
+    _avg = ek.average
+    ek.average = lambda lst: _avg(lst) if len(lst) else -1.0
+
     prep = PreprocessKitti(dir_ann='annotations', mode=mode, iou_min=0.3)
     prep.run()
     path_joints = prep.path_joints
@@ -86,6 +103,9 @@ def run_ref(mode, root):
         GenerateKitti(eval_args(mode, out)).run()
         ev = EvalKitti(eval_args(mode, out))
         ev.dic_thresh_conf[net] = -100
+        # show_statistics is pure printing, runs after all stats are computed,
+        # and divides by cnt_gt['hard'] == 0 on this dataset — skip it.
+        ev.show_statistics = lambda: None
         ev.run()
         emit('reference', mode, seed, extract_metrics(ev, net), wall)
 
@@ -122,10 +142,15 @@ def _stub_torchvision():
     image path, which this pipeline never touches."""
     import types
     tv = types.ModuleType('torchvision')
-    tv.transforms = types.SimpleNamespace(
-        Normalize=lambda *a, **k: None, ToTensor=lambda *a, **k: None,
-        Compose=lambda *a, **k: None)
+    transforms = types.ModuleType('torchvision.transforms')
+    for name in ('Normalize', 'ToTensor', 'Compose', 'Resize'):
+        setattr(transforms, name, lambda *a, **k: None)
+    models = types.ModuleType('torchvision.models')
+    models.resnet50 = lambda *a, **k: None
+    tv.transforms, tv.models = transforms, models
     sys.modules.setdefault('torchvision', tv)
+    sys.modules.setdefault('torchvision.transforms', transforms)
+    sys.modules.setdefault('torchvision.models', models)
 
 
 def emit(framework, mode, seed, metrics, wall):
