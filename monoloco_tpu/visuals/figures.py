@@ -57,6 +57,7 @@ def show_results(dic_stats, clusters, net, dir_fig, show=False, save=False):
     xxs = get_distances(clusters)
     xx = np.linspace(3, 31, 100)
 
+    plotted = {}
     fig = plt.figure(figsize=FIGSIZE)
     plt.grid(linewidth=0.3)
     for method, style in METHOD_STYLES.items():
@@ -67,6 +68,7 @@ def show_results(dic_stats, clusters, net, dir_fig, show=False, save=False):
         if not errs or all(e in (0, -1) for e in errs):
             continue
         n = min(len(xxs), len(errs))
+        plotted[method] = (list(xxs[:n]), [float(e) for e in errs[:n]])
         plt.plot(xxs[:n], errs[:n], marker=style['marker'], label=style['label'],
                  color=style['color'])
     plt.plot(xx, get_task_error(xx), '--', label='Task error',
@@ -78,6 +80,7 @@ def show_results(dic_stats, clusters, net, dir_fig, show=False, save=False):
     plt.ylabel('Average localization error (ALE) [m]', fontsize=FONTSIZE)
     plt.legend(loc='upper left', prop={'size': FONTSIZE - 2})
     _finish(fig, os.path.join(dir_fig, f'results_{net}.png'), show, save)
+    return plotted
 
 
 def show_spread(dic_stats, clusters, net, dir_fig, show=False, save=False):
@@ -102,19 +105,22 @@ def show_spread(dic_stats, clusters, net, dir_fig, show=False, save=False):
     plt.ylabel('Error / spread [m]', fontsize=FONTSIZE)
     plt.legend(prop={'size': FONTSIZE - 2})
     _finish(fig, os.path.join(dir_fig, f'spread_{net}.png'), show, save)
+    return (list(xxs[:n]), [float(e) for e in errs[:n]],
+            [float(b) for b in bis[:n]])
 
 
 def calculate_gmm(n_samples=10_000_000, seed=0):
-    """Sample the adult-height mixture (male/female normals) and return the
-    expected relative depth error it induces (reference figures.py:227-239
-    draws 1e7 samples)."""
+    """Sample the adult-height mixture (N(178,7) men + N(165,7) women, 1e7
+    draws in the reference) and return the expected relative depth error of
+    assuming the mean height: mm = E|1 - mu/h| (reference figures.py:227-239;
+    this is where the 0.046·d task-error bound comes from — at 1e7 samples
+    mm_gmm = 0.0459)."""
     rng = np.random.default_rng(seed)
     men = rng.normal(178, 7, size=n_samples // 2)
     women = rng.normal(165, 7, size=n_samples // 2)
     heights = np.concatenate([men, women])
-    mu = heights.mean()
-    # Relative error of assuming average height: E|h - mu| / mu
-    mm = float(np.mean(np.abs(heights - mu)) / mu)
+    mu = float(heights.mean())
+    mm = float(np.mean(np.abs(1 - mu / heights)))
     return heights, mu, mm
 
 
@@ -135,6 +141,7 @@ def show_task_error(dir_fig, show=False, save=False):
     axes[1].set_ylabel('Expected error [m]')
     axes[1].legend()
     _finish(fig, os.path.join(dir_fig, 'task_error.png'), show, save)
+    return mu, mm
 
 
 def show_box_plot(dic_errors, clusters, dir_fig, show=False, save=False):
