@@ -144,6 +144,9 @@ class GenerateKitti:
                 ratio = self.cnt_disparity[key] / max(cnt_ann, 1) * 100
                 print(f"Annotations corrected using {key} baseline: {ratio:.1f}%")
             print(f"Not found {self.cnt_no_stereo}/{cnt_file} stereo files")
+            if not getattr(getattr(self, 'reid_net', None), 'pretrained', True):
+                print("WARNING: the reid txts above used UNTRAINED (random) "
+                      "ReID features and are not a valid baseline")
         if self.generate_official:
             create_empty_files(dir_out, self.net)
 

@@ -136,10 +136,25 @@ class ReID:
             sd = {k: v.numpy() for k, v in checkpoint.items()
                   if hasattr(v, 'numpy')}
             self.params = convert_torch_resnet50(sd)
+            self.pretrained = True
             print(f"Loaded pretrained ReID weights from '{weights_path}'")
         else:
+            import warnings
             self.params = init_resnet50(jax.random.PRNGKey(1))
-            print("ReID: using randomly initialized weights (no checkpoint given)")
+            self.pretrained = False
+            # Never run this baseline silently untrained: without Market-1501
+            # weights (reference reid_baseline.py:30-88) the features are
+            # random and the stereo associations meaningless.
+            warnings.warn(
+                "ReID baseline is running with RANDOMLY INITIALIZED weights — "
+                "no Market-1501 checkpoint was provided; its stereo "
+                "associations are meaningless. Place converted weights at "
+                "data/models/reid_model_market.pkl to fix.",
+                RuntimeWarning, stacklevel=2)
+            print("!" * 79)
+            print("! WARNING: ReID running UNTRAINED (random features) — "
+                  "reid txts are invalid !")
+            print("!" * 79)
         self._forward = jax.jit(resnet50_features)
 
     def _preprocess(self, images):

@@ -288,9 +288,14 @@ class TestReID:
     def test_reid_forward_and_crop_features(self, tmp_path):
         """Random-init ReID embeds PIL crops to (n, 2048) through the jitted
         NHWC program; get_reid_features crops both stereo images."""
+        import pytest as _pytest
         from PIL import Image
         from monoloco_tpu.eval.reid_baseline import ReID, get_reid_features
-        reid = ReID(height=32, width=16)  # small crop -> fast CPU compile
+        # No weights -> the baseline must warn loudly, never run silently
+        # on random features.
+        with _pytest.warns(RuntimeWarning, match='RANDOMLY INITIALIZED'):
+            reid = ReID(height=32, width=16)  # small crop -> fast CPU compile
+        assert reid.pretrained is False
         rng = np.random.RandomState(2)
         img = Image.fromarray(rng.randint(0, 255, (100, 200, 3), np.uint8))
         feats = reid.forward([img, img])
