@@ -94,6 +94,10 @@ def run_ref(mode, root):
     net = 'monstereo' if mode == 'stereo' else 'monoloco_pp'
 
     for seed in (1, 2):
+        if already_done('reference', mode, seed):
+            print(f'skip reference/{mode}/seed{seed} (already recorded)',
+                  flush=True)
+            continue
         out = f'data/outputs/ref-{mode}-s{seed}.pkl'
         t0 = time.time()
         trainer = Trainer(train_args(mode, seed, path_joints, out))
@@ -101,6 +105,12 @@ def run_ref(mode, root):
         trainer.evaluate()
         wall = time.time() - t0
         GenerateKitti(eval_args(mode, out)).run()
+        # Latent reference bug #2: filter_directories mutates the CLASS-level
+        # methods list in place, so a second EvalKitti in one process
+        # KeyErrors at dic_thresh_conf['monopsr']. Restore it.
+        ek.EvalKitti.methods = (ek.EvalKitti.OUR_METHODS
+                                + ek.EvalKitti.METHODS_MONO
+                                + ek.EvalKitti.METHODS_STEREO)
         ev = EvalKitti(eval_args(mode, out))
         ev.dic_thresh_conf[net] = -100
         # show_statistics is pure printing, runs after all stats are computed,
@@ -113,7 +123,9 @@ def run_ref(mode, root):
 def run_tpu(mode, root):
     sys.path.insert(0, REPO)
     import jax
-    jax.config.update('jax_platforms', 'cpu')
+    if os.environ.get('H2H_FORCE_CPU'):
+        jax.config.update('jax_platforms', 'cpu')
+    print('jax backend:', jax.default_backend(), flush=True)
     from monoloco_tpu.prep import PreprocessKitti
     from monoloco_tpu.train import Trainer
     from monoloco_tpu.eval import GenerateKitti, EvalKitti
@@ -123,6 +135,10 @@ def run_tpu(mode, root):
     net = 'monstereo' if mode == 'stereo' else 'monoloco_pp'
 
     for seed in (1, 2):
+        if already_done('monoloco_tpu', mode, seed):
+            print(f'skip monoloco_tpu/{mode}/seed{seed} (already recorded)',
+                  flush=True)
+            continue
         out = f'data/outputs/tpu-{mode}-s{seed}.pkl'
         t0 = time.time()
         trainer = Trainer(train_args(mode, seed, path_joints, out))
@@ -151,6 +167,18 @@ def _stub_torchvision():
     sys.modules.setdefault('torchvision', tv)
     sys.modules.setdefault('torchvision.transforms', transforms)
     sys.modules.setdefault('torchvision.models', models)
+
+
+def already_done(framework, mode, seed):
+    try:
+        with open('/tmp/h2h/results.jsonl') as f:
+            for line in f:
+                r = json.loads(line)
+                if (r['framework'], r['mode'], r['r_seed']) == (framework, mode, seed):
+                    return True
+    except FileNotFoundError:
+        pass
+    return False
 
 
 def emit(framework, mode, seed, metrics, wall):
