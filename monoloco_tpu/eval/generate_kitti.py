@@ -173,12 +173,20 @@ class GenerateKitti:
                                                    im_size=(1242, 374))
             loaded.append((basename, boxes, keypoints, kk, tt, cat, keypoints_r))
 
-        for start in range(0, len(loaded), chunk):
+        # Two-deep software pipeline: chunk i+1 is dispatched (async on the
+        # device) before chunk i's results are fetched and written, so device
+        # compute and tunnel transfer overlap the host's txt IO.
+        def launch(start):
             batch = loaded[start:start + chunk]
-            outs = self.model.forward_batch(
+            fin = self.model.forward_batch_async(
                 [b[2] for b in batch], [b[3] for b in batch],
                 keypoints_r_list=[b[6] for b in batch] if stereo else None)
-            for (basename, boxes, keypoints, kk, tt, cat, _), dic_out in zip(batch, outs):
+            return batch, fin
+
+        def drain(batch, fin):
+            nonlocal cnt_ann, cnt_file
+            for (basename, boxes, keypoints, kk, tt, cat, _), dic_out in zip(
+                    batch, fin()):
                 if dic_out is None:
                     continue
                 dic_out['epi'] = [0.] * len(boxes)
@@ -190,6 +198,15 @@ class GenerateKitti:
                           net=self.net, cat=cat)
                 cnt_ann += len(boxes)
                 cnt_file += 1
+
+        pending = None
+        for start in range(0, len(loaded), chunk):
+            launched = launch(start)
+            if pending is not None:
+                drain(*pending)
+            pending = launched
+        if pending is not None:
+            drain(*pending)
 
         print(f"\nSaved in {cnt_file} txt {cnt_ann} annotations. "
               f"Not found {cnt_no_file} images")

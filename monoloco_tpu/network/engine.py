@@ -303,15 +303,26 @@ class Loco:
         return tuple(shard_batch(np.asarray(a), self.mesh) for a in arrays)
 
     def forward_batch(self, keypoints_list, kk_list, keypoints_r_list=None):
-        """Run many images in one device program.
+        """Run many images in one device program (see forward_batch_async)."""
+        return self.forward_batch_async(keypoints_list, kk_list,
+                                        keypoints_r_list)()
+
+    def forward_batch_async(self, keypoints_list, kk_list,
+                            keypoints_r_list=None):
+        """Launch one device program over many images; returns a zero-arg
+        finalize() producing the per-image output dicts.
+
+        JAX dispatch is asynchronous, so callers can launch the next chunk
+        (or do host-side IO) before finalizing this one — the device computes
+        and the tunnel transfers while the host writes files.
 
         keypoints_list: per-image (m_i, 3, 17) arrays; kk_list: per-image 3x3
         intrinsics; keypoints_r_list (monstereo): per-image right-camera
         keypoints (r_i, 3, 17), entries may be None/empty (the left keypoints
-        are duplicated, matching `forward`). Returns a list of per-image
-        output dicts identical to `forward`'s. Images pad to shared detection
-        buckets, so any mix of crowd sizes reuses one compiled program per
-        (batch-bucket, m-bucket[, r-bucket]).
+        are duplicated, matching `forward`). finalize() returns a list of
+        per-image output dicts identical to `forward`'s. Images pad to shared
+        detection buckets, so any mix of crowd sizes reuses one compiled
+        program per (batch-bucket, m-bucket[, r-bucket]).
         """
         assert self.net in ('monoloco_pp', 'monoloco_p', 'monstereo'), \
             "forward_batch supports the monocular nets and monstereo"
@@ -319,7 +330,7 @@ class Loco:
         counts = [0 if k is None else len(k) for k in keypoints_list]
         n_img = len(keypoints_list)
         if n_img == 0:
-            return []
+            return lambda: []
         m_bucket = _bucket(max(max(counts), 1))
         b_bucket = _bucket(n_img, minimum=1)
         if self.mesh is not None:
@@ -357,31 +368,34 @@ class Loco:
                 kps, kps_r, r_mask, kks)
             if 'batch_stereo' not in self._infer_cache:
                 self._infer_cache['batch_stereo'] = self._batch_stereo_program()
-            dic = jax.device_get(self._infer_cache['batch_stereo'](
-                self.folded, kps_j, kps_r_j, r_mask_j, kks_j))
+            dic_dev = self._infer_cache['batch_stereo'](
+                self.folded, kps_j, kps_r_j, r_mask_j, kks_j)
         else:
             kps_j, kks_j = self._shard_batch_args(kps, kks)
             if 'batch' not in self._infer_cache:
                 self._infer_cache['batch'] = self._batch_program()
-            dic = jax.device_get(self._infer_cache['batch'](
-                self.folded, kps_j, kks_j))
+            dic_dev = self._infer_cache['batch'](self.folded, kps_j, kks_j)
 
-        outs = []
-        for i in range(n_img):
-            m = counts[i]
-            if m == 0:
-                outs.append(None)
-                continue
-            sl = slice(i * m_bucket, i * m_bucket + m)
-            dic_i = {}
-            for key, v in dic.items():
-                if key == 'yaw':
-                    dic_i['yaw'] = (np.asarray(v[0])[sl], np.asarray(v[1])[sl])
-                else:
-                    dic_i[key] = np.asarray(v)[sl]
-            dic_i['epi'] = [0.] * m
-            outs.append(dic_i)
-        return outs
+        def finalize():
+            dic = jax.device_get(dic_dev)
+            outs = []
+            for i in range(n_img):
+                m = counts[i]
+                if m == 0:
+                    outs.append(None)
+                    continue
+                sl = slice(i * m_bucket, i * m_bucket + m)
+                dic_i = {}
+                for key, v in dic.items():
+                    if key == 'yaw':
+                        dic_i['yaw'] = (np.asarray(v[0])[sl], np.asarray(v[1])[sl])
+                    else:
+                        dic_i[key] = np.asarray(v)[sl]
+                dic_i['epi'] = [0.] * m
+                outs.append(dic_i)
+            return outs
+
+        return finalize
 
     # ------------------------------------------------------------------
     # Host-side post-processing (numpy; mirrors reference net.py:163-248)
