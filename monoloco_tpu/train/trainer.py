@@ -272,9 +272,19 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    CHUNK_EPOCHS = 10  # one device dispatch + one log fetch per 10 epochs
+    # One device dispatch + one log fetch per CHUNK_EPOCHS epochs. The fused
+    # multi-epoch program costs more one-time XLA compile than the per-epoch
+    # program; MONOLOCO_TPU_EPOCH_CHUNK=1 selects the per-epoch dispatch loop
+    # instead (cheaper compile, ~5x slower steady-state through a remote
+    # backend — see PARITY.md).
+    CHUNK_EPOCHS = int(os.environ.get('MONOLOCO_TPU_EPOCH_CHUNK', '10'))
 
     def train(self):
+        if self.CHUNK_EPOCHS <= 1:
+            return self._train_per_epoch()
+        return self._train_chunked()
+
+    def _train_chunked(self):
         since = time.time()
         epoch_losses = defaultdict(lambda: defaultdict(list))
         n_tr = float(self.dataset_sizes['train'])
@@ -318,6 +328,60 @@ class Trainer:
         if profile_ctx is not None:
             profile_ctx.__exit__(None, None, None)
 
+        return self._finish_train(since, epoch_losses, best_acc,
+                                  best_training_acc, best_epoch, best_params,
+                                  best_bn)
+
+    def _train_per_epoch(self):
+        """Legacy per-epoch dispatch loop (MONOLOCO_TPU_EPOCH_CHUNK=1): two
+        dispatches + a blocking log fetch per epoch. Identical math to the
+        chunked scan; cheaper one-time compile, slower steady-state."""
+        since = time.time()
+        best_acc = 1e6
+        best_training_acc = 1e6
+        best_epoch = self.start_epoch
+        best_params, best_bn = self.params, self.bn_state
+        epoch_losses = defaultdict(lambda: defaultdict(list))
+        n_tr = float(self.dataset_sizes['train'])
+        names = ['all'] + list(self.tasks)
+
+        profile_ctx = None
+        if self.profile:
+            profile_ctx = jax.profiler.trace(self.profile)
+            profile_ctx.__enter__()
+            self.logger.info('Profiling to %s', self.profile)
+
+        for epoch in range(self.start_epoch, self.num_epochs):
+            epoch_rng = jax.random.fold_in(self.train_key, epoch)
+            (self.params, self.log_sigmas, self.bn_state, self.opt_state,
+             train_logs) = self._train_epoch(
+                self.params, self.log_sigmas, self.bn_state, self.opt_state,
+                epoch_rng, self.x_tr, self.y_tr)
+            val_logs = self._val_metrics(self.params, self.log_sigmas,
+                                         self.bn_state, self.x_va, self.y_va)
+            train_logs = np.asarray(train_logs) / n_tr
+            val_logs = np.asarray(val_logs)
+            for i, name in enumerate(names):
+                epoch_losses['train'][name].append(float(train_logs[i]))
+                epoch_losses['val'][name].append(float(val_logs[i]))
+            if epoch % 10 == 0:
+                self._cout_epoch(epoch, epoch_losses)
+            if epoch_losses['val'][self.val_task][-1] < best_acc:
+                best_acc = epoch_losses['val'][self.val_task][-1]
+                best_training_acc = epoch_losses['train']['all'][-1]
+                best_epoch = epoch
+                best_params = jax.tree_util.tree_map(jnp.copy, self.params)
+                best_bn = jax.tree_util.tree_map(jnp.copy, self.bn_state)
+
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+
+        return self._finish_train(since, epoch_losses, best_acc,
+                                  best_training_acc, best_epoch, best_params,
+                                  best_bn)
+
+    def _finish_train(self, since, epoch_losses, best_acc, best_training_acc,
+                      best_epoch, best_params, best_bn):
         self.last_epoch = (self.num_epochs - 1
                            if self.num_epochs > self.start_epoch
                            else self.start_epoch)

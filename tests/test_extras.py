@@ -117,6 +117,35 @@ def test_trainer_profile_flag(tmp_path):
     assert os.path.isdir(prof_dir) and os.listdir(prof_dir)
 
 
+def test_per_epoch_loop_matches_chunked_scan(tmp_path, monkeypatch):
+    """The legacy per-epoch dispatch loop (MONOLOCO_TPU_EPOCH_CHUNK=1) and the
+    chunked multi-epoch scan must produce identical trajectories and identical
+    best-epoch selection."""
+    import jax
+    from monoloco_tpu.train import Trainer
+
+    def run(chunk):
+        monkeypatch.setattr(Trainer, 'CHUNK_EPOCHS', chunk)
+        args = argparse.Namespace(
+            joints=JOINTS, mode='mono', out=str(tmp_path / f'c{chunk}.pkl'),
+            epochs=7, bs=128, dropout=0.2, lr=0.002, sched_step=5,
+            sched_gamma=0.9, hidden_size=64, n_stage=2, r_seed=5,
+            auto_tune_mtl=False, no_save=True, print_loss=False)
+        t = Trainer(args)
+        best_epoch = t.train()
+        v = np.asarray(t._val_metrics(t.params, t.log_sigmas, t.bn_state,
+                                      t.x_va, t.y_va))
+        return best_epoch, v, t.params
+
+    be1, v1, p1 = run(1)
+    be10, v10, p10 = run(10)
+    assert be1 == be10
+    np.testing.assert_allclose(v1, v10, rtol=0, atol=0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p1, p10)
+
+
 def test_resume_reproduces_straight_run(tmp_path):
     """Training 2 epochs + resuming for 2 more must reproduce a straight
     4-epoch run: per-epoch RNG is fold_in(train_key, epoch) and the optimizer
