@@ -26,6 +26,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATASET_SEED = {'mono': 7, 'stereo': 8}
 N_TRAIN, N_VAL = 160, 40
 EPOCHS = 500
+# Training seeds per leg (override: H2H_SEEDS="1,2,3").
+SEEDS = tuple(int(s) for s in os.environ.get('H2H_SEEDS', '1,2').split(','))
 
 
 def make_root(root, mode):
@@ -93,7 +95,7 @@ def run_ref(mode, root):
     path_joints = prep.path_joints
     net = 'monstereo' if mode == 'stereo' else 'monoloco_pp'
 
-    for seed in (1, 2):
+    for seed in SEEDS:
         if already_done('reference', mode, seed):
             print(f'skip reference/{mode}/seed{seed} (already recorded)',
                   flush=True)
@@ -134,7 +136,7 @@ def run_tpu(mode, root):
     path_joints, _ = prep.run()
     net = 'monstereo' if mode == 'stereo' else 'monoloco_pp'
 
-    for seed in (1, 2):
+    for seed in SEEDS:
         if already_done('monoloco_tpu', mode, seed):
             print(f'skip monoloco_tpu/{mode}/seed{seed} (already recorded)',
                   flush=True)
