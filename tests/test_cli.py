@@ -97,3 +97,44 @@ class TestTrainStereo:
                 '--calibration', 'kitti',
                 '--output_types', 'multi', '-o', out_dir)
         assert os.path.exists(os.path.join(out_dir, 'out_pair_000840.png.multi.png'))
+
+
+def test_eval_generate_dp_devices(tmp_path):
+    """CLI wiring for mesh-sharded generation: `eval --generate --dp_devices 8`
+    builds the mesh in run.py and produces the same txt set as --dp_devices 1."""
+    sys.path.insert(0, os.path.join(REPO, 'tools'))
+    from make_synthetic_kitti import make_dataset
+    import shutil
+    make_dataset(str(tmp_path), n_train=4, n_val=4, seed=23)
+
+    import jax  # host-side only: build a random checkpoint for the eval
+    from monoloco_tpu.models import init_loco_params
+    from monoloco_tpu.models.checkpoint import save_checkpoint
+    os.makedirs(tmp_path / 'data' / 'outputs', exist_ok=True)
+    os.makedirs(tmp_path / 'data' / 'logs', exist_ok=True)
+    p, bn = init_loco_params(jax.random.PRNGKey(4), 34, 9, 64, 2)
+    save_checkpoint(str(tmp_path / 'data' / 'outputs' / 'g.pkl'), p, bn, meta={})
+
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu',
+               XLA_FLAGS='--xla_force_host_platform_device_count=8',
+               PYTHONPATH=REPO + os.pathsep + os.environ.get('PYTHONPATH', ''))
+
+    def gen(dp, keep_as):
+        cmd = [sys.executable, '-m', 'monoloco_tpu.run', 'eval', '--generate',
+               '--dataset', 'kitti', '--dir_ann', 'annotations',
+               '--model', 'data/outputs/g.pkl', '--hidden_size', '64',
+               '--n_stage', '2', '--dp_devices', str(dp)]
+        res = subprocess.run(cmd, cwd=tmp_path, env=env, capture_output=True,
+                             text=True, timeout=900)
+        assert res.returncode == 0, f"{res.stdout}\n{res.stderr}"
+        shutil.copytree(tmp_path / 'data' / 'kitti' / 'monoloco_pp',
+                        tmp_path / keep_as)
+
+    gen(1, 'single')
+    gen(8, 'sharded')
+    singles = sorted(os.listdir(tmp_path / 'single'))
+    assert singles == sorted(os.listdir(tmp_path / 'sharded')) and singles
+    for name in singles:
+        a = (tmp_path / 'single' / name).read_bytes()
+        b = (tmp_path / 'sharded' / name).read_bytes()
+        assert a == b, name
