@@ -7,6 +7,7 @@ platform through jax.config before any backend is initialized.
 """
 
 import os
+import subprocess
 
 os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
 
@@ -17,3 +18,23 @@ try:
     jax.config.update('jax_num_cpu_devices', 8)
 except Exception:
     pass  # XLA_FLAGS fallback above covers older versions
+
+
+def ensure_kitti_eval_binary():
+    """Path to kitti-eval/build/evaluate_object, building it with CMake on
+    first use (the build tree is untracked; CI and fresh clones need this)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(repo, 'kitti-eval')
+    binary = os.path.join(src, 'build', 'evaluate_object')
+    if os.path.exists(binary):
+        return binary
+    build = os.path.join(src, 'build')
+    try:
+        subprocess.run(['cmake', '-S', src, '-B', build,
+                        '-DCMAKE_BUILD_TYPE=Release'], check=True,
+                       capture_output=True, text=True)
+        subprocess.run(['cmake', '--build', build], check=True,
+                       capture_output=True, text=True)
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    return binary if os.path.exists(binary) else None

@@ -12,11 +12,13 @@ import subprocess
 import numpy as np
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BINARY = os.path.join(REPO, 'kitti-eval', 'build', 'evaluate_object')
+from conftest import ensure_kitti_eval_binary
 
-pytestmark = pytest.mark.skipif(not os.path.exists(BINARY),
-                                reason="evaluate_object not built")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BINARY = ensure_kitti_eval_binary()
+
+pytestmark = pytest.mark.skipif(BINARY is None,
+                                reason="evaluate_object build failed")
 
 
 def _gt_line(x1, y1, x2, y2, xyz, alpha=0.1, ry=0.2):

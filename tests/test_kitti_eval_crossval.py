@@ -20,15 +20,17 @@ import sys
 import numpy as np
 import pytest
 
+from conftest import ensure_kitti_eval_binary
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BINARY = os.path.join(REPO, 'kitti-eval', 'build', 'evaluate_object')
+BINARY = ensure_kitti_eval_binary()
 GOLDEN_DIR = os.path.join(REPO, 'tests', 'goldens', 'kitti_eval_crossval')
 REF_CPP = '/root/reference/kitti-eval/evaluate_object.cpp'
 
 sys.path.insert(0, os.path.join(REPO, 'tools'))
 
-pytestmark = pytest.mark.skipif(not os.path.exists(BINARY),
-                                reason="evaluate_object not built")
+pytestmark = pytest.mark.skipif(BINARY is None,
+                                reason="evaluate_object build failed")
 
 
 @pytest.mark.skipif(not os.path.isdir(GOLDEN_DIR), reason="goldens missing")
