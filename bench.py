@@ -35,6 +35,8 @@ PRECISION = os.environ.get('MONOLOCO_TPU_PRECISION', 'bf16')
 
 
 def main():
+    from monoloco_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     from monoloco_tpu.models import init_loco_params, fold_eval_params, folded_forward
     from monoloco_tpu.network.preprocess import preprocess_monoloco
     from monoloco_tpu.network.decode import extract_outputs

@@ -205,6 +205,8 @@ def _build_mesh(args):
 
 def main():
     args = cli()
+    from .utils import enable_compilation_cache
+    enable_compilation_cache()
     if args.command == 'predict':
         if args.webcam:
             from .visuals.webcam import webcam

@@ -18,6 +18,7 @@ from .kitti import (
     find_cluster,
 )
 from .logs import set_logger
+from .compile_cache import enable_compilation_cache
 from .nuscenes import select_categories
 
 # Geometry lives in monoloco_tpu.geometry (the jit/device layer); re-export it
