@@ -25,11 +25,13 @@ TPU-first design:
 """
 
 import datetime
+import functools
 import logging
 import math
 import os
 import time
 from collections import defaultdict
+from types import SimpleNamespace
 
 import numpy as np
 import jax
@@ -45,8 +47,196 @@ from ..parallel import constrain_batch, constrain_by_specs, loco_param_specs, MO
 from ..utils import set_logger
 
 
+def _make_trainable(params, log_sigmas):
+    return {'model': params, 'log_sigmas': log_sigmas} if log_sigmas is not None \
+        else {'model': params}
+
+
+@functools.lru_cache(maxsize=None)
+def _init_program(input_size, output_size, linear_size, num_stage):
+    """Jitted model init: one dispatch instead of an eager op per layer
+    (each eager op costs a round trip through a remote backend)."""
+    return jax.jit(lambda key: init_loco_params(
+        key, input_size, output_size, linear_size=linear_size,
+        num_stage=num_stage))
+
+
+@functools.lru_cache(maxsize=None)
+def _train_programs(tasks, lambdas, bs, n, p_drop, auto, mesh, val_idx):
+    """Jitted training programs for one (dataset size, batch size, loss
+    config, mesh) combination, cached at module scope.
+
+    The learning-rate schedule (init lr, staircase gamma, step period) and the
+    training RNG key are TRACED arguments, not baked into the program — so
+    hyperparameter-search trials that differ only in lr/gamma/step (reference
+    hyp_tuning.py samples exactly those per trial at a given bs/hidden) reuse
+    ONE compiled executable, and whole trial groups vmap over the hyperparams
+    (see train/hyp_tuning.py). Model width/depth stay implicit in the params
+    pytree: jit specializes per shape as usual.
+
+    Returns a namespace with the jitted programs plus the raw (unjitted)
+    `train_chunk_fn` for vmapping, and the optimizer whose state layout the
+    checkpoints carry.
+    """
+    nb = math.ceil(n / bs)
+    # Adam without a baked-in schedule: the staircase decay is applied to the
+    # update inside `step` from the traced hyperparams. Equivalent to the
+    # reference's Adam + per-batch StepLR (reference trainer.py:150-161):
+    # optax.adam(exponential_decay(lr0, ts, gamma, staircase=True)) evaluates
+    # the schedule at the pre-update count, exactly like `count // ts` below.
+    optimizer = optax.chain(optax.scale_by_adam(eps=1e-8))
+    tp_on = mesh is not None and MODEL_AXIS in mesh.axis_names
+
+    def constrain_tp(params, bn_state):
+        """Pin the Megatron column/row-parallel layouts on the model so the
+        SPMD partitioner shards the hidden dimension over 'model'."""
+        p_spec, bn_spec = loco_param_specs()
+        return (constrain_by_specs(params, mesh, p_spec),
+                constrain_by_specs(bn_state, mesh, bn_spec))
+
+    def batch_loss(trainable, bn_state, x, y, mask, rng):
+        x = constrain_batch(x, mesh)
+        y = constrain_batch(y, mesh)
+        mask = constrain_batch(mask, mesh)
+        if tp_on:
+            model, bn_state = constrain_tp(trainable['model'], bn_state)
+            trainable = dict(trainable, model=model)
+        out, new_bn = loco_forward(trainable['model'], bn_state, x, train=True,
+                                   rng=rng, p_dropout=p_drop, row_mask=mask)
+        total, _ = multitask_loss(out, y, tasks, lambdas, phase='train', mask=mask,
+                                  log_sigmas=trainable.get('log_sigmas'))
+        return total, (new_bn, out)
+
+    grad_fn = jax.value_and_grad(batch_loss, has_aux=True)
+
+    def train_epoch(params, log_sigmas, bn_state, opt_state, epoch_rng,
+                    x_all, y_all, hyp):
+        lr0, gamma, ts = hyp
+        perm = jax.random.permutation(epoch_rng, n)
+        pad = nb * bs - n
+        perm_padded = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+        masks = jnp.concatenate([jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
+        batches = perm_padded.reshape(nb, bs)
+        batch_masks = masks.reshape(nb, bs)
+        rngs = jax.random.split(jax.random.fold_in(epoch_rng, 1), nb)
+
+        def step(carry, xs):
+            trainable, bn_state, opt_state = carry
+            idx, mask, rng = xs
+            x, y = x_all[idx], y_all[idx]
+            (loss, (new_bn, out)), grads = grad_fn(trainable, bn_state, x, y, mask, rng)
+            # Clip the *model* gradient global norm to 3 (loss params unclipped).
+            g_model = grads['model']
+            gnorm = optax.global_norm(g_model)
+            scale = jnp.minimum(1.0, 3.0 / (gnorm + 1e-6))
+            grads = dict(grads, model=jax.tree_util.tree_map(lambda g: g * scale, g_model))
+            # Staircase-decayed lr at the pre-update step count (StepLR parity).
+            count = opt_state[0].count
+            lr_t = lr0 * jnp.power(gamma, jnp.floor(count / ts))
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            updates = jax.tree_util.tree_map(lambda u: -lr_t * u, updates)
+            trainable = optax.apply_updates(trainable, updates)
+            # Validation-flavor losses on the just-computed outputs (logging parity
+            # with reference trainer.py:165-167).
+            val_total, val_vals = multitask_loss(
+                out, y, tasks, lambdas, phase='val', mask=mask,
+                log_sigmas=trainable.get('log_sigmas'))
+            cnt = mask.sum()
+            logs = jnp.stack([val_total * cnt] + [v * cnt for v in val_vals[:len(tasks)]])
+            return (trainable, new_bn, opt_state), logs
+
+        trainable = _make_trainable(params, log_sigmas)
+        (trainable, bn_state, opt_state), logs = jax.lax.scan(
+            step, (trainable, bn_state, opt_state), (batches, batch_masks, rngs))
+        return (trainable['model'], trainable.get('log_sigmas'), bn_state, opt_state,
+                logs.sum(axis=0))
+
+    def val_metrics(params, log_sigmas, bn_state, x, y):
+        out, _ = loco_forward(params, bn_state, x, train=False)
+        total, vals = multitask_loss(out, y, tasks, lambdas, phase='val',
+                                     log_sigmas=log_sigmas)
+        return jnp.stack([total] + list(vals[:len(tasks)]))
+
+    def eval_stats(params, bn_state, x_cat, y_cat, group_masks):
+        """Whole-evaluation program: eval-mode forward + masked per-group
+        statistics (whole val set, then each distance cluster) in ONE
+        dispatch. The group loop is static, so every cluster's losses, bi
+        coverage, error moments, and aux accuracy compile into a single
+        fused executable — the eager per-cluster host loop this replaces
+        paid a ~100 s stream of per-op round-trips through the tunneled
+        backend. Masked means over the concatenated rows equal the
+        reference's per-subset means exactly.
+
+        Returns (losses (G, n_tasks), stats (G, 6)) with stats columns
+        [bi_mean, bi_coverage, err_sum, err_sumsq, count, aux_acc].
+        """
+        out, _ = loco_forward(params, bn_state, x_cat, train=False)
+        dec = extract_outputs(out)
+        gt = extract_labels(y_cat)
+        errs = jnp.abs(dec['d'] - gt['d'])[:, 0]
+        bis = dec['bi'][:, 0]
+        covered = (errs <= bis).astype(jnp.float32)
+        if 'aux' in tasks:
+            aux_err = jnp.abs((dec['aux'][:, 0] >= 0.5).astype(jnp.float32)
+                              - gt['aux'][:, 0])
+        loss_rows, stat_rows = [], []
+        for g in range(group_masks.shape[0]):
+            m = group_masks[g]
+            cnt = m.sum()
+            safe = jnp.maximum(cnt, 1.0)
+            loss_rows.append(jnp.stack(
+                composite_losses(out, y_cat, tasks, phase='val', mask=m)))
+            aux_acc = (1.0 - (aux_err * m).sum() / safe if 'aux' in tasks
+                       else jnp.float32(0.0))
+            stat_rows.append(jnp.stack([
+                (bis * m).sum() / safe, (covered * m).sum() / safe,
+                (errs * m).sum(), ((errs ** 2) * m).sum(), cnt, aux_acc]))
+        return jnp.stack(loss_rows), jnp.stack(stat_rows)
+
+    # Chunked multi-epoch program: scan train_epoch + val_metrics over a
+    # whole block of epochs with ON-DEVICE best-validation tracking, so the
+    # host pays one dispatch + one log fetch per CHUNK instead of two
+    # dispatches + a blocking fetch per epoch (this container's tunnel RTT is
+    # ~20 ms — at 500 epochs that's the difference between ~50 s and ~5 s of
+    # pure round-trips). Math is identical to the per-epoch loop: same
+    # fold_in(train_key, epoch) RNG, same strictly-less best update, same log
+    # values.
+    def train_chunk(params, log_sigmas, bn_state, opt_state, best,
+                    epochs, x_all, y_all, x_va, y_va, train_key, hyp):
+        def step(carry, epoch):
+            params, log_sigmas, bn_state, opt_state, best = carry
+            epoch_rng = jax.random.fold_in(train_key, epoch)
+            params, log_sigmas, bn_state, opt_state, tr_logs = train_epoch(
+                params, log_sigmas, bn_state, opt_state, epoch_rng,
+                x_all, y_all, hyp)
+            va_logs = val_metrics(params, log_sigmas, bn_state, x_va, y_va)
+            best_acc, best_tr, best_epoch, best_params, best_bn = best
+            better = va_logs[val_idx] < best_acc
+            sel = lambda a, b: jnp.where(better, a, b)
+            best = (sel(va_logs[val_idx], best_acc),
+                    sel(tr_logs[0] / n, best_tr),
+                    sel(epoch, best_epoch),
+                    jax.tree_util.tree_map(sel, params, best_params),
+                    jax.tree_util.tree_map(sel, bn_state, best_bn))
+            return (params, log_sigmas, bn_state, opt_state, best), \
+                (tr_logs, va_logs)
+
+        carry, logs = jax.lax.scan(
+            step, (params, log_sigmas, bn_state, opt_state, best), epochs)
+        return carry, logs
+
+    return SimpleNamespace(
+        train_epoch=jax.jit(train_epoch, donate_argnums=(3,)),
+        val_metrics=jax.jit(val_metrics),
+        eval_stats=jax.jit(eval_stats),
+        train_chunk=jax.jit(train_chunk, donate_argnums=(3, 4)),
+        train_chunk_fn=train_chunk,
+        optimizer=optimizer,
+        opt_init=jax.jit(optimizer.init),
+    )
+
+
 class Trainer:
-    VAL_BS = 10000
     val_task = 'd'
     clusters = ['10', '20', '30', '40']
     input_size = dict(mono=34, stereo=68)
@@ -101,19 +291,32 @@ class Trainer:
 
         key = jax.random.PRNGKey(self.r_seed)
         self.init_key, self.train_key = jax.random.split(key)
-        self.params, self.bn_state = init_loco_params(
-            self.init_key, self.input_size[self.mode], self.output_size[self.mode],
-            linear_size=self.hidden_size, num_stage=self.n_stage)
+        self.params, self.bn_state = _init_program(
+            self.input_size[self.mode], self.output_size[self.mode],
+            self.hidden_size, self.n_stage)(self.init_key)
         self.log_sigmas = (jnp.zeros((len(self.tasks),), jnp.float32)
                           if self.auto_tune_mtl else None)
         print(">>> model params: {:.3f}M".format(count_params(self.params) / 1e6))
 
-        # Optimizer: Adam with per-batch staircase lr decay (StepLR parity).
-        self.schedule = optax.exponential_decay(
-            init_value=self.lr, transition_steps=max(int(self.sched_step), 1),
-            decay_rate=self.sched_gamma, staircase=True)
-        self.optimizer = optax.adam(learning_rate=self.schedule, eps=1e-8)
-        self.opt_state = self.optimizer.init(self._trainable(self.params, self.log_sigmas))
+        # Optional multi-chip mesh: batch dim sharded over 'data', params
+        # replicated; XLA inserts the gradient all-reduce.
+        self.mesh = getattr(args, 'mesh', None)
+        self.n_train = self.x_tr.shape[0]
+        self.steps_per_epoch = math.ceil(self.n_train / self.bs)
+
+        # Jitted programs + optimizer from the module-level factory: Trainers
+        # with equal shapes/config share compiled executables, and the lr
+        # schedule rides in as the traced `self._hyp` (StepLR parity:
+        # staircase decay every sched_step *batches*).
+        self._programs = _train_programs(
+            tuple(self.tasks), tuple(self.lambdas), int(self.bs),
+            int(self.n_train), float(self.dropout), bool(self.auto_tune_mtl),
+            self.mesh, 1 + list(self.tasks).index(self.val_task))
+        self.optimizer = self._programs.optimizer
+        self.opt_state = self._programs.opt_init(
+            self._trainable(self.params, self.log_sigmas))
+        self._hyp = (jnp.float32(self.lr), jnp.float32(self.sched_gamma),
+                     jnp.float32(max(int(self.sched_step), 1)))
         self.start_epoch = 0
 
         # Mid-training resume (an improvement over the reference, which saves
@@ -140,135 +343,13 @@ class Trainer:
             self.start_epoch = int(extra.get('epoch', 0))
             self.logger.info('Resumed from %s at epoch %d', self.resume, self.start_epoch)
 
-        # Optional multi-chip mesh: batch dim sharded over 'data', params
-        # replicated; XLA inserts the gradient all-reduce.
-        self.mesh = getattr(args, 'mesh', None)
-
-        self.n_train = self.x_tr.shape[0]
-        self.steps_per_epoch = math.ceil(self.n_train / self.bs)
-        self._build_steps()
-
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _trainable(params, log_sigmas):
-        return {'model': params, 'log_sigmas': log_sigmas} if log_sigmas is not None \
-            else {'model': params}
+    _trainable = staticmethod(_make_trainable)
 
-    def _build_steps(self):
-        tasks, lambdas = self.tasks, self.lambdas
-        bs, n = self.bs, self.n_train
-        nb = self.steps_per_epoch
-        p_drop = self.dropout
-        optimizer = self.optimizer
-        auto = self.auto_tune_mtl
-
-        mesh = self.mesh
-        tp_on = mesh is not None and MODEL_AXIS in mesh.axis_names
-
-        def constrain_tp(params, bn_state):
-            """Pin the Megatron column/row-parallel layouts on the model so the
-            SPMD partitioner shards the hidden dimension over 'model'."""
-            p_spec, bn_spec = loco_param_specs()
-            return (constrain_by_specs(params, mesh, p_spec),
-                    constrain_by_specs(bn_state, mesh, bn_spec))
-
-        def batch_loss(trainable, bn_state, x, y, mask, rng):
-            x = constrain_batch(x, mesh)
-            y = constrain_batch(y, mesh)
-            mask = constrain_batch(mask, mesh)
-            if tp_on:
-                model, bn_state = constrain_tp(trainable['model'], bn_state)
-                trainable = dict(trainable, model=model)
-            out, new_bn = loco_forward(trainable['model'], bn_state, x, train=True,
-                                       rng=rng, p_dropout=p_drop, row_mask=mask)
-            total, _ = multitask_loss(out, y, tasks, lambdas, phase='train', mask=mask,
-                                      log_sigmas=trainable.get('log_sigmas'))
-            return total, (new_bn, out)
-
-        grad_fn = jax.value_and_grad(batch_loss, has_aux=True)
-
-        def train_epoch(params, log_sigmas, bn_state, opt_state, epoch_rng, x_all, y_all):
-            perm = jax.random.permutation(epoch_rng, n)
-            pad = nb * bs - n
-            perm_padded = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
-            masks = jnp.concatenate([jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
-            batches = perm_padded.reshape(nb, bs)
-            batch_masks = masks.reshape(nb, bs)
-            rngs = jax.random.split(jax.random.fold_in(epoch_rng, 1), nb)
-
-            def step(carry, xs):
-                trainable, bn_state, opt_state = carry
-                idx, mask, rng = xs
-                x, y = x_all[idx], y_all[idx]
-                (loss, (new_bn, out)), grads = grad_fn(trainable, bn_state, x, y, mask, rng)
-                # Clip the *model* gradient global norm to 3 (loss params unclipped).
-                g_model = grads['model']
-                gnorm = optax.global_norm(g_model)
-                scale = jnp.minimum(1.0, 3.0 / (gnorm + 1e-6))
-                grads = dict(grads, model=jax.tree_util.tree_map(lambda g: g * scale, g_model))
-                updates, opt_state = optimizer.update(grads, opt_state, trainable)
-                trainable = optax.apply_updates(trainable, updates)
-                # Validation-flavor losses on the just-computed outputs (logging parity
-                # with reference trainer.py:165-167).
-                val_total, val_vals = multitask_loss(
-                    out, y, tasks, lambdas, phase='val', mask=mask,
-                    log_sigmas=trainable.get('log_sigmas'))
-                cnt = mask.sum()
-                logs = jnp.stack([val_total * cnt] + [v * cnt for v in val_vals[:len(tasks)]])
-                return (trainable, new_bn, opt_state), logs
-
-            trainable = self._trainable(params, log_sigmas)
-            (trainable, bn_state, opt_state), logs = jax.lax.scan(
-                step, (trainable, bn_state, opt_state), (batches, batch_masks, rngs))
-            return (trainable['model'], trainable.get('log_sigmas'), bn_state, opt_state,
-                    logs.sum(axis=0))
-
-        def val_metrics(params, log_sigmas, bn_state, x, y):
-            out, _ = loco_forward(params, bn_state, x, train=False)
-            total, vals = multitask_loss(out, y, tasks, lambdas, phase='val',
-                                         log_sigmas=log_sigmas)
-            return jnp.stack([total] + list(vals[:len(tasks)]))
-
-        self._train_epoch = jax.jit(train_epoch, donate_argnums=(3,))
-        self._val_metrics = jax.jit(val_metrics)
-
-        # Chunked multi-epoch program: scan train_epoch + val_metrics over a
-        # whole block of epochs with ON-DEVICE best-validation tracking, so
-        # the host pays one dispatch + one log fetch per CHUNK instead of two
-        # dispatches + a blocking fetch per epoch (this container's tunnel
-        # RTT is ~20 ms — at 500 epochs that's the difference between ~50 s
-        # and ~5 s of pure round-trips). Math is identical to the per-epoch
-        # loop: same fold_in(train_key, epoch) RNG, same strictly-less best
-        # update, same log values.
-        train_key = self.train_key
-        val_idx = 1 + list(tasks).index(self.val_task)
-
-        def train_chunk(params, log_sigmas, bn_state, opt_state, best,
-                        epochs, x_all, y_all, x_va, y_va):
-            def step(carry, epoch):
-                params, log_sigmas, bn_state, opt_state, best = carry
-                epoch_rng = jax.random.fold_in(train_key, epoch)
-                params, log_sigmas, bn_state, opt_state, tr_logs = train_epoch(
-                    params, log_sigmas, bn_state, opt_state, epoch_rng,
-                    x_all, y_all)
-                va_logs = val_metrics(params, log_sigmas, bn_state, x_va, y_va)
-                best_acc, best_tr, best_epoch, best_params, best_bn = best
-                better = va_logs[val_idx] < best_acc
-                sel = lambda a, b: jnp.where(better, a, b)
-                best = (sel(va_logs[val_idx], best_acc),
-                        sel(tr_logs[0] / n, best_tr),
-                        sel(epoch, best_epoch),
-                        jax.tree_util.tree_map(sel, params, best_params),
-                        jax.tree_util.tree_map(sel, bn_state, best_bn))
-                return (params, log_sigmas, bn_state, opt_state, best), \
-                    (tr_logs, va_logs)
-
-            carry, logs = jax.lax.scan(
-                step, (params, log_sigmas, bn_state, opt_state, best), epochs)
-            return carry, logs
-
-        self._train_chunk = jax.jit(train_chunk, donate_argnums=(3, 4))
+    @property
+    def _val_metrics(self):
+        return self._programs.val_metrics
 
     # ------------------------------------------------------------------
 
@@ -307,9 +388,10 @@ class Trainer:
             ce = min(cs + self.CHUNK_EPOCHS, self.num_epochs)
             epochs = jnp.arange(cs, ce, dtype=jnp.int32)
             ((self.params, self.log_sigmas, self.bn_state, self.opt_state,
-              best), (tr_chunk, va_chunk)) = self._train_chunk(
+              best), (tr_chunk, va_chunk)) = self._programs.train_chunk(
                 self.params, self.log_sigmas, self.bn_state, self.opt_state,
-                best, epochs, self.x_tr, self.y_tr, self.x_va, self.y_va)
+                best, epochs, self.x_tr, self.y_tr, self.x_va, self.y_va,
+                self.train_key, self._hyp)
 
             tr_chunk = np.asarray(tr_chunk) / n_tr       # (K, 1+tasks)
             va_chunk = np.asarray(va_chunk)
@@ -354,11 +436,11 @@ class Trainer:
         for epoch in range(self.start_epoch, self.num_epochs):
             epoch_rng = jax.random.fold_in(self.train_key, epoch)
             (self.params, self.log_sigmas, self.bn_state, self.opt_state,
-             train_logs) = self._train_epoch(
+             train_logs) = self._programs.train_epoch(
                 self.params, self.log_sigmas, self.bn_state, self.opt_state,
-                epoch_rng, self.x_tr, self.y_tr)
-            val_logs = self._val_metrics(self.params, self.log_sigmas,
-                                         self.bn_state, self.x_va, self.y_va)
+                epoch_rng, self.x_tr, self.y_tr, self._hyp)
+            val_logs = self._programs.val_metrics(self.params, self.log_sigmas,
+                                                  self.bn_state, self.x_va, self.y_va)
             train_logs = np.asarray(train_logs) / n_tr
             val_logs = np.asarray(val_logs)
             for i, name in enumerate(names):
@@ -428,29 +510,44 @@ class Trainer:
         dataset = self.datasets['val']
         size_eval = len(dataset)
 
-        # Whole-set eval in VAL_BS chunks (reference trainer.py:212-228).
-        start = 0
-        for end in range(self.VAL_BS, size_eval + self.VAL_BS, self.VAL_BS):
-            end = min(end, size_eval)
-            x = self.x_va[start:end]
-            y = self.y_va[start:end]
-            start = end
-            out, _ = loco_forward(self.params, self.bn_state, x, train=False)
-            self._compute_stats(out, y, dic_err['val'], size_eval, clst='all')
-
-        if self.auto_tune_mtl and self.log_sigmas is not None:
-            dic_err['val']['sigmas'] = [float(jnp.exp(s)) for s in self.log_sigmas]
-        self._cout_stats(dic_err['val'], size_eval, clst='all')
-        if self.auto_tune_mtl and self.log_sigmas is not None:
-            self.logger.info("Sigmas: " + ", ".join(
-                f"{t}: {s:.2f}" for t, s in zip(self.tasks, dic_err['val']['sigmas'])))
+        # Whole evaluation (val set + every distance cluster) as ONE jitted
+        # dispatch over a concatenated matrix with per-group row masks. The
+        # reference loops the subsets on the host (trainer.py:212-228); eager
+        # per-op dispatch through a remote backend costs minutes.
+        x_va, y_va = dataset.arrays()
+        parts_x, parts_y = [x_va], [y_va]
+        groups, counts = ['all'], [size_eval]
         for clst in self.clusters:
             inputs, outputs_gt, count = dataset.get_cluster_annotations(clst)
             if count == 0:
                 continue
-            out, _ = loco_forward(self.params, self.bn_state, jnp.asarray(inputs), train=False)
-            self._compute_stats(out, jnp.asarray(outputs_gt), dic_err['val'], count, clst=clst)
-            self._cout_stats(dic_err['val'], count, clst=clst)
+            parts_x.append(np.asarray(inputs))
+            parts_y.append(np.asarray(outputs_gt))
+            groups.append(clst)
+            counts.append(count)
+        x_cat = np.concatenate(parts_x, axis=0)
+        y_cat = np.concatenate(parts_y, axis=0)
+        masks = np.zeros((len(groups), x_cat.shape[0]), np.float32)
+        offset = 0
+        for g, count in enumerate(counts):
+            masks[g, offset:offset + count] = 1.0
+            offset += count
+        loss_rows, stat_rows = self._programs.eval_stats(
+            self.params, self.bn_state, jnp.asarray(x_cat), jnp.asarray(y_cat),
+            jnp.asarray(masks))
+        loss_rows, stat_rows = np.asarray(loss_rows), np.asarray(stat_rows)
+        for g, clst in enumerate(groups):
+            self._fill_stats(dic_err['val'], clst, loss_rows[g], stat_rows[g])
+
+        if self.auto_tune_mtl and self.log_sigmas is not None:
+            dic_err['val']['sigmas'] = [float(s) for s in
+                                        np.exp(np.asarray(self.log_sigmas))]
+        self._cout_stats(dic_err['val'], size_eval, clst='all')
+        if self.auto_tune_mtl and self.log_sigmas is not None:
+            self.logger.info("Sigmas: " + ", ".join(
+                f"{t}: {s:.2f}" for t, s in zip(self.tasks, dic_err['val']['sigmas'])))
+        for g in range(1, len(groups)):
+            self._cout_stats(dic_err['val'], counts[g], clst=groups[g])
 
         if not (self.no_save or load):
             self.path_model = self.path_out
@@ -482,43 +579,25 @@ class Trainer:
             self.logger.info("\nmodel not saved\n")
         return dic_err, (self.params, self.bn_state)
 
-    def _compute_stats(self, outputs, labels, dic_err, size_eval, clst):
-        loss_values = composite_losses(outputs, labels, self.tasks, phase='val')
-        rel_frac = outputs.shape[0] / size_eval
-        tasks_no_aux = [t for t in self.tasks if t != 'aux']
+    def _fill_stats(self, dic_err, clst, losses, stats):
+        """Host-side unpack of one eval_stats group row into dic_err
+        (same derived quantities the reference computes per subset,
+        trainer.py:229-266)."""
         for idx, task in enumerate(self.tasks):
             if task == 'aux':
                 continue
-            dic_err[clst][task] += float(loss_values[idx]) * rel_frac
-
-        decoded = extract_outputs(outputs)
-        gt = extract_labels(labels)
-        errs = jnp.abs(decoded['d'] - gt['d'])
-        bis = decoded['bi']
-        bi = float(jnp.mean(bis))
-        bi_perc = float(jnp.sum(errs <= bis)) / errs.shape[0]
-        dic_err[clst]['bi'] += bi * rel_frac
-        dic_err[clst]['bi%'] += bi_perc * rel_frac
-        # Streaming moments so the std is correct across VAL_BS chunks
-        # (the reference forbids partial evaluation instead).
-        dic_err[clst]['_n'] += int(errs.shape[0])
-        dic_err[clst]['_sum'] += float(jnp.sum(errs))
-        dic_err[clst]['_sumsq'] += float(jnp.sum(errs ** 2))
-        n = dic_err[clst]['_n']
+            dic_err[clst][task] = float(losses[idx])
+        bi_mean, bi_cov, err_sum, err_sumsq, n, aux_acc = (float(v) for v in stats)
+        dic_err[clst]['bi'] = bi_mean
+        dic_err[clst]['bi%'] = bi_cov
+        n = int(n)
         if n > 1:
-            mean = dic_err[clst]['_sum'] / n
-            var = max(0.0, (dic_err[clst]['_sumsq'] - n * mean * mean) / (n - 1))
+            mean = err_sum / n
+            var = max(0.0, (err_sumsq - n * mean * mean) / (n - 1))
             dic_err[clst]['std'] = var ** 0.5
         else:
             dic_err[clst]['std'] = 0.0
-
-        if self.mode == 'mono':
-            dic_err[clst]['aux'] = 0
-        else:
-            acc_aux = 1.0 - float(jnp.mean(
-                jnp.abs((decoded['aux'] >= 0.5).astype(jnp.float32) - gt['aux'])))
-            dic_err[clst]['aux'] += acc_aux * rel_frac
-        _ = tasks_no_aux
+        dic_err[clst]['aux'] = 0 if self.mode == 'mono' else aux_acc
 
     def _cout_stats(self, dic_err, size_eval, clst):
         if clst == 'all':
