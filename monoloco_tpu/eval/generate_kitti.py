@@ -77,12 +77,11 @@ class GenerateKitti:
                 make_new_directory(d)
                 dir_out[name] = d
 
-        # Generation without baselines or MC-dropout: run whole image batches
-        # (mono AND stereo all-vs-all) as single device programs
-        # (engine.forward_batch) instead of one dispatch per image — optionally
-        # sharded over a device mesh. (MC-dropout epi needs the per-image path.)
-        if (self.net in ('monoloco_pp', 'monstereo') and not self.baselines['mono']
-                and self.model.n_dropout == 0):
+        # Generation without baselines: run whole image batches (mono AND
+        # stereo all-vs-all, incl. MC-dropout epistemic passes) as single
+        # device programs (engine.forward_batch) instead of one dispatch per
+        # image — optionally sharded over a device mesh.
+        if self.net in ('monoloco_pp', 'monstereo') and not self.baselines['mono']:
             return self._run_batched(dir_out)
 
         for basename in self.set_basename:
@@ -189,7 +188,6 @@ class GenerateKitti:
                     batch, fin()):
                 if dic_out is None:
                     continue
-                dic_out['epi'] = [0.] * len(boxes)
                 all_outputs = [dic_out['xyzd'], dic_out['bi'], dic_out['epi'],
                                dic_out['yaw'], dic_out['h'], dic_out['w'],
                                dic_out['l']]

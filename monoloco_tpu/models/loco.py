@@ -26,6 +26,7 @@ Weights use (in, out) layout so forward matmuls are `x @ W` (MXU-friendly,
 no transposes in the hot path).
 """
 
+import functools
 import math
 
 import jax
@@ -252,7 +253,18 @@ def _fold(linear, bn, bn_state):
     }
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_program(arch):
+    """Jitted BN-fold: one dispatch instead of ~25 eager ops (each eager op
+    costs a compile + round trip through a remote backend at engine init)."""
+    return jax.jit(functools.partial(_fold_eval_params_eager, arch=arch))
+
+
 def fold_eval_params(params, bn_state, arch='loco'):
+    return _fold_program(arch)(params, bn_state)
+
+
+def _fold_eval_params_eager(params, bn_state, arch='loco'):
     """Collapse BN into affine layers for inference.
 
     Loco eval forward becomes:

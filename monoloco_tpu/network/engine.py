@@ -294,6 +294,39 @@ class Loco:
 
         return jax.jit(program)
 
+    def _batch_mc_program(self):
+        """Epistemic MC-dropout over a whole image batch: the per-image MC
+        program (n_dropout stochastic passes + Laplace-sampling std, same
+        fixed PRNGKey(0) stream as `forward`) vmapped over the image axis —
+        one dispatch for the entire chunk instead of one per image."""
+        fwd = loco_forward if self.arch == 'loco' else monoloco_forward
+        p_dropout = self.p_dropout
+        net = self.net
+
+        @jax.jit
+        def batch_mc(params, bn_state, kps_batch, kk_batch, rngs):
+            def per_image(kps, kk):
+                if net == 'monoloco':
+                    x = preprocess_monoloco(kps, kk, zero_center=True)
+                else:
+                    x = preprocess_monoloco(kps, kk)
+
+                def one_pass(rng):
+                    out, _ = fwd(params, bn_state, x, train=False, rng=rng,
+                                 p_dropout=p_dropout, mc_dropout=True)
+                    db = out[:, 0:2] if net == 'monoloco' else out[:, 2:4]
+                    bi = unnormalize_bi(db)
+                    mu_b = jnp.concatenate([db[:, 0:1], bi], axis=1)
+                    return laplace_sampling(mu_b, N_SAMPLES)
+
+                samples = jax.vmap(one_pass)(rngs)          # (n_dropout, S, m)
+                flat = samples.reshape(-1, x.shape[0])
+                return jnp.std(flat, axis=0, ddof=1)
+
+            return jax.vmap(per_image)(kps_batch, kk_batch)  # (B, m_bucket)
+
+        return batch_mc
+
     def _shard_batch_args(self, *arrays):
         """Place batched host arrays on device; with a mesh, split the leading
         image axis over 'data' so GSPMD partitions the whole program."""
@@ -376,8 +409,17 @@ class Loco:
                 self._infer_cache['batch'] = self._batch_program()
             dic_dev = self._infer_cache['batch'](self.folded, kps_j, kks_j)
 
+        epi_dev = None
+        if self.n_dropout > 0 and not stereo:
+            rngs = jax.random.split(jax.random.PRNGKey(0), self.n_dropout)
+            if 'batch_mc' not in self._infer_cache:
+                self._infer_cache['batch_mc'] = self._batch_mc_program()
+            epi_dev = self._infer_cache['batch_mc'](
+                self.params, self.bn_state, kps_j, kks_j, rngs)
+
         def finalize():
             dic = jax.device_get(dic_dev)
+            epi = None if epi_dev is None else np.asarray(jax.device_get(epi_dev))
             outs = []
             for i in range(n_img):
                 m = counts[i]
@@ -391,7 +433,7 @@ class Loco:
                         dic_i['yaw'] = (np.asarray(v[0])[sl], np.asarray(v[1])[sl])
                     else:
                         dic_i[key] = np.asarray(v)[sl]
-                dic_i['epi'] = [0.] * m
+                dic_i['epi'] = ([0.] * m if epi is None else epi[i, :m])
                 outs.append(dic_i)
             return outs
 

@@ -167,6 +167,24 @@ class TestForwardBatch:
         assert outs[0]['d'].shape == (2, 1)
         assert outs[1] is None
 
+    def test_mc_dropout_epi_matches_per_image(self):
+        """Batched epistemic MC-dropout equals the per-image path when the
+        detection buckets coincide (dropout/sampling draws depend on the
+        padded shape, so per-image buckets of 4 vs a batch bucket of 4 share
+        the PRNGKey(0) stream exactly; differing buckets agree only in
+        distribution — same as the per-image path across crowd sizes)."""
+        params, bn = init_loco_params(jax.random.PRNGKey(2), 34, 9, 64, 2)
+        net = Loco((params, bn), mode='mono', linear_size=64, n_stage=2,
+                   n_dropout=2)
+        kps_list = [_keypoints(3, seed=1), _keypoints(4, seed=2)]
+        kks = [KK, [[700., 0., 590.], [0., 700., 170.], [0., 0., 1.]]]
+        batch_out = net.forward_batch(kps_list, kks)
+        for kps, kk, out_b in zip(kps_list, kks, batch_out):
+            epi_b = np.asarray(out_b['epi'])
+            epi_s = np.asarray(net.forward(kps, kk)['epi'])
+            assert (epi_b > 0).all()
+            np.testing.assert_allclose(epi_b, epi_s, rtol=2e-4)
+
     def test_empty_batch(self, mono_net):
         assert mono_net.forward_batch([], []) == []
 
