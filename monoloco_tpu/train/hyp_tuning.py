@@ -7,17 +7,21 @@ best kept by validation distance error. Unlike the reference (which samples the
 grids but forgets to forward them into Trainer), each trial here actually runs
 with its sampled combination.
 
-TPU-first execution: the reference trains the trials strictly one after
-another on one device. Here trials are grouped by the hyperparameters that
-change tensor shapes or batching (bs, hidden_size, n_stage) and each group
-trains as ONE vmapped program — lr / sched_gamma / sched_step are traced
-scalars of the compiled train step (trainer._train_programs), so the group's
-trials run simultaneously as a batched model stack on the same chip. The
-small MLP leaves most of the MXU idle at production batch sizes; stacking
-trials converts that headroom into search throughput. Trial math is identical
-to the serial path (same init/seed/data/RNG per trial — the serial loop
-re-seeds every Trainer identically), so results match the serial path
-trial-for-trial. MONOLOCO_TPU_HYP_PARALLEL=0 selects the serial loop.
+TPU-first execution: lr / sched_gamma / sched_step are traced scalars of the
+compiled train step (trainer._train_programs), so trials that share shapes
+(bs, hidden_size, n_stage) reuse ONE compiled executable — the search never
+recompiles per trial (the dominant cost on a remote-compile backend: 6 trials
+x 150 epochs run in 44 s warm on one v5e chip).
+
+An alternative vmapped executor (MONOLOCO_TPU_HYP_PARALLEL=1) additionally
+groups same-shape trials and trains each group as a single batched model
+stack. Measured on the v5e (24 fixed-shape trials, 150 epochs, fixture-size
+data): the vmapped stack is ~0.7x the serial loop — the chunked multi-epoch
+scan already amortizes dispatch overhead to ~15 dispatches/trial, and
+stacking trials multiplies HBM traffic without improving MXU utilization at
+this model/batch size, so it LOSES. Kept opt-in for larger trunks where
+per-trial execution is compute-bound; trial math is identical to the serial
+path (same init/seed/data/RNG per trial), tested trial-for-trial on CPU.
 """
 
 import copy
@@ -80,10 +84,10 @@ class HypTuning:
                 for i, lr in enumerate(self.lr_list)]
 
     def train(self, args):
-        if os.environ.get('MONOLOCO_TPU_HYP_PARALLEL', '1').strip().lower() \
-                in ('0', 'off', 'false', 'no'):
-            return self._train_serial(args)
-        return self._train_parallel(args)
+        if os.environ.get('MONOLOCO_TPU_HYP_PARALLEL', '0').strip().lower() \
+                in ('1', 'on', 'true', 'yes'):
+            return self._train_parallel(args)
+        return self._train_serial(args)
 
     # ------------------------------------------------------------------
     # Parallel path: one vmapped multi-trial program per (bs, hidden,
@@ -163,6 +167,30 @@ class HypTuning:
         self._group_trainers[(bs, hidden, n_stage)] = t
 
         T = len(trial_combos)
+        if T == 1:
+            # Singleton group: run the plain (non-vmapped) program — the same
+            # executable serial trials and Trainer.train use, so equal-shape
+            # singleton groups share one compile and pay no vmap overhead.
+            c = trial_combos[0]
+            hyp = (jnp.float32(c['lr']), jnp.float32(c['sched_gamma']),
+                   jnp.float32(max(int(c['sched_step']), 1)))
+            best = (jnp.float32(1e6), jnp.float32(1e6), jnp.int32(0),
+                    jax.tree_util.tree_map(jnp.copy, t.params),
+                    jax.tree_util.tree_map(jnp.copy, t.bn_state))
+            params, log_sigmas = t.params, t.log_sigmas
+            bn_state, opt_state = t.bn_state, t.opt_state
+            for cs in range(0, self.num_epochs, Trainer.CHUNK_EPOCHS):
+                ce = min(cs + Trainer.CHUNK_EPOCHS, self.num_epochs)
+                epochs = jnp.arange(cs, ce, dtype=jnp.int32)
+                ((params, log_sigmas, bn_state, opt_state, best),
+                 _) = t._programs.train_chunk(
+                    params, log_sigmas, bn_state, opt_state, best, epochs,
+                    t.x_tr, t.y_tr, t.x_va, t.y_va, t.train_key, hyp)
+            t.opt_state = opt_state   # the old buffer was donated
+            return [(float(best[0]), int(best[2]),
+                     jax.tree_util.tree_map(jnp.asarray, best[3]),
+                     jax.tree_util.tree_map(jnp.asarray, best[4]))]
+
         stack = lambda tree: jax.tree_util.tree_map(
             lambda x: jnp.stack([x] * T), tree)
         params = stack(t.params)

@@ -64,8 +64,10 @@ def test_mixed_groups_cover_all_trials(tmp_path, monkeypatch):
         os.makedirs(d, exist_ok=True)
     monkeypatch.setenv('MONOLOCO_TPU_HYP_PARALLEL', '1')
     hyp = _shrunk_hyp()
+    # Groups: {trial 0, trial 2} at hidden 64 (vmapped) and {trial 1} at
+    # hidden 32 (singleton fast path — plain program, no vmap).
     hyp.hidden_list = [64, 32, 64, 32, 64, 32]
-    hyp.lr_list = hyp.lr_list[:4]
+    hyp.lr_list = hyp.lr_list[:3]
     best = hyp.train(_args())
     assert best['hidden_size'] in (32, 64)
     assert 0 < best['acc_val'] < 20
