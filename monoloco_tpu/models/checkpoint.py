@@ -78,31 +78,38 @@ def save_train_state(path, blob):
 def load_train_state(path, params_template, bn_template, opt_state_template):
     """Load a full training blob saved by save_train_state (pickle or .orbax).
 
-    The templates (freshly initialized params/bn/opt_state of the resuming
-    Trainer) give orbax the pytree structure, so optax's nested namedtuple
-    optimizer state restores with its exact structure. Returns a dict in the
+    Orbax restores are template-free (params/BN trees are plain nested dicts
+    that round-trip as-is); the optimizer state is re-hung on the resuming
+    Trainer's `opt_state_template` treedef, restoring optax's nested
+    namedtuples. When the leaf counts disagree — the checkpoint was trained
+    with the opposite auto_tune_mtl setting, which changes the trainable
+    tree — 'opt_state' is omitted so the caller's flag check reports the real
+    mismatch instead of an orbax structure error. Returns a dict in the
     pickle-blob layout ('log_sigmas' is None or an array, 'meta' a dict).
     """
     if not _is_orbax_path(path):
         with open(path, 'rb') as f:
             return pickle.load(f)
     import orbax.checkpoint as ocp
-    to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
-    template = {
-        'params': to_np(params_template),
-        'bn_state': to_np(bn_template),
-        'opt_state': to_np(opt_state_template),
-        'final_params': to_np(params_template),
-        'final_bn_state': to_np(bn_template),
-        'log_sigmas': np.zeros(1, np.float32),
-        'meta': '',
-    }
+    _ = (params_template, bn_template)
     with ocp.PyTreeCheckpointer() as ckptr:
-        blob = ckptr.restore(os.path.abspath(path), item=template)
-    ls = np.asarray(blob['log_sigmas'])
-    blob['log_sigmas'] = ls[1:] if ls[0] > 0.5 else None
-    blob['meta'] = json.loads(blob['meta'] or '{}')
-    blob['format'] = FORMAT_TAG
+        raw = ckptr.restore(os.path.abspath(path))
+    ls = np.asarray(raw['log_sigmas'])
+    blob = {
+        'format': FORMAT_TAG,
+        'params': raw['params'],
+        'bn_state': raw['bn_state'],
+        'final_params': raw['final_params'],
+        'final_bn_state': raw['final_bn_state'],
+        'log_sigmas': ls[1:] if ls[0] > 0.5 else None,
+        'meta': json.loads(raw['meta'] or '{}'),
+    }
+    treedef = jax.tree_util.tree_structure(opt_state_template)
+    leaves = jax.tree_util.tree_leaves(raw['opt_state'])
+    if len(leaves) == treedef.num_leaves:
+        # Leaf order matches: orbax serializes namedtuples by field order and
+        # dicts by sorted key, exactly how jax flattens the template.
+        blob['opt_state'] = jax.tree_util.tree_unflatten(treedef, leaves)
     return blob
 
 

@@ -192,3 +192,44 @@ def test_resume_reproduces_straight_run(tmp_path):
     v_c = np.asarray(t_c2._val_metrics(t_c2.params, t_c2.log_sigmas, t_c2.bn_state,
                                        t_c2.x_va, t_c2.y_va))
     np.testing.assert_allclose(v_c, v_b, rtol=0, atol=0)
+
+
+def test_auto_tune_resume_roundtrips_orbax(tmp_path):
+    """Auto-tune log_sigmas survive the flag-prefixed orbax encoding: resume
+    from .orbax reproduces the pickle-resume trajectory, and a flag mismatch
+    between the checkpoint and --auto_tune_mtl is rejected."""
+    import pytest
+    pytest.importorskip('orbax.checkpoint')
+    from monoloco_tpu.train import Trainer
+
+    def make_args(epochs, out, resume=None, auto=True):
+        return argparse.Namespace(
+            joints=JOINTS, mode='mono', out=out, epochs=epochs, bs=128,
+            dropout=0.2, lr=0.002, sched_step=5, sched_gamma=0.9,
+            hidden_size=64, n_stage=2, r_seed=3, auto_tune_mtl=auto,
+            no_save=False, print_loss=False, resume=resume)
+
+    t_p1 = Trainer(make_args(2, str(tmp_path / 'p1.pkl')))
+    t_p1.train()
+    t_p1.evaluate()
+    t_p2 = Trainer(make_args(4, str(tmp_path / 'p2.pkl'),
+                             resume=str(tmp_path / 'p1.pkl')))
+    t_p2.train()
+    v_pkl = np.asarray(t_p2._val_metrics(t_p2.params, t_p2.log_sigmas,
+                                         t_p2.bn_state, t_p2.x_va, t_p2.y_va))
+
+    t_o1 = Trainer(make_args(2, str(tmp_path / 'o1.orbax')))
+    t_o1.train()
+    t_o1.evaluate()
+    t_o2 = Trainer(make_args(4, str(tmp_path / 'o2.pkl'),
+                             resume=str(tmp_path / 'o1.orbax')))
+    assert t_o2.start_epoch == 2
+    assert t_o2.log_sigmas is not None and t_o2.log_sigmas.shape[0] == len(t_o2.tasks)
+    t_o2.train()
+    v_orb = np.asarray(t_o2._val_metrics(t_o2.params, t_o2.log_sigmas,
+                                         t_o2.bn_state, t_o2.x_va, t_o2.y_va))
+    np.testing.assert_allclose(v_orb, v_pkl, rtol=0, atol=0)
+
+    with pytest.raises(ValueError, match='auto_tune_mtl'):
+        Trainer(make_args(4, str(tmp_path / 'x.pkl'),
+                          resume=str(tmp_path / 'o1.orbax'), auto=False))
