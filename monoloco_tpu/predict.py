@@ -142,9 +142,18 @@ def predict(args):
     if args.output_directory is not None:
         os.makedirs(args.output_directory, exist_ok=True)
 
+    step = 2 if args.mode == 'stereo' else 1
+    if (args.mode != 'keypoints' and len(args.images) // step > 2
+            and net.net in ('monoloco_pp', 'monoloco_p', 'monstereo')):
+        # Multi-image runs forward whole chunks as one device program (same
+        # engine path the KITTI generator uses); the per-image loop below
+        # stays for 1-2 images (where its per-image forward-time print is
+        # the reference contract, predict.py:256-259) and for the legacy
+        # monoloco net.
+        return _predict_batched(args, net, step)
+
     timing = []
     cnt = 0
-    step = 2 if args.mode == 'stereo' else 1
     for i in range(0, len(args.images), step):
         image_path = args.images[i]
         annotations = load_annotations(image_path, args)
@@ -208,6 +217,94 @@ def predict(args):
         timing_arr = np.array(timing)
         print(f'Processed {cnt * step} images with an average time of '
               f'{int(timing_arr.mean())} ms and a std of {int(timing_arr.std())} ms')
+
+
+def _output_path(args, image_path):
+    if args.output_directory is None:
+        splits = os.path.split(image_path)
+        return os.path.join(splits[0], 'out_' + splits[1])
+    return os.path.join(args.output_directory, 'out_' + os.path.basename(image_path))
+
+
+def _dump_pifpaf_json(args, image_path, annotations):
+    json_dir = args.json_output if isinstance(args.json_output, str) \
+        else (args.output_directory or os.path.dirname(image_path))
+    json_out = os.path.join(json_dir, os.path.basename(image_path)
+                            + '.predictions.json')
+    with open(json_out, 'w') as f:
+        json.dump(annotations, f)
+
+
+def _predict_batched(args, net, step):
+    """Multi-image prediction: whole 64-image chunks forward as ONE device
+    program (the engine path the KITTI generator uses, incl. stereo all-vs-all
+    and MC-dropout epistemic passes), two-deep async pipeline so the device
+    computes while the host draws/writes the previous chunk. Per-image
+    post-processing, activities, and outputs are unchanged."""
+    loaded = []
+    for i in range(0, len(args.images), step):
+        image_path = args.images[i]
+        annotations = load_annotations(image_path, args)
+        if args.json_output is not None:
+            _dump_pifpaf_json(args, image_path, annotations)
+        with open(image_path, 'rb') as f:
+            w, h = Image.open(f).size
+        im_size = (float(w), float(h))
+        if args.path_gt is not None:
+            dic_gt, kk = factory_for_gt(args.path_gt, os.path.basename(image_path))
+        else:
+            kk = load_calibration(args.calibration, im_size,
+                                  focal_length=args.focal_length)
+            dic_gt = None
+        boxes, keypoints = preprocess_pifpaf(annotations, im_size,
+                                             enlarge_boxes=False)
+        keypoints_r = None
+        if step == 2:
+            annotations_r = load_annotations(args.images[i + 1], args)
+            _, keypoints_r = preprocess_pifpaf(annotations_r, im_size)
+        loaded.append((image_path, annotations, boxes, keypoints, keypoints_r,
+                       kk, dic_gt))
+
+    chunk = 64
+    cnt = 0
+    since = time.time()
+
+    def launch(s):
+        batch = loaded[s:s + chunk]
+        fin = net.forward_batch_async(
+            [b[3] for b in batch], [b[5] for b in batch],
+            keypoints_r_list=[b[4] for b in batch] if step == 2 else None)
+        return batch, fin
+
+    def drain(batch, fin):
+        nonlocal cnt
+        for (image_path, annotations, boxes, keypoints, _, kk,
+             dic_gt), dic_fwd in zip(batch, fin()):
+            output_path = _output_path(args, image_path)
+            dic_out = net.post_process(dic_fwd, boxes, keypoints, kk, dic_gt)
+            if 'social_distance' in (args.activities or []):
+                dic_out = net.social_distance(dic_out, args)
+            if 'raise_hand' in (args.activities or []):
+                dic_out = net.raising_hand(dic_out, keypoints)
+            with open(image_path, 'rb') as f:
+                cpu_image = Image.open(f).convert('RGB')
+            factory_outputs(args, cpu_image, annotations, dic_out, output_path,
+                            kk=kk)
+            print(f'{cnt} image {os.path.basename(image_path)} saved as '
+                  f'{output_path}')
+            cnt += 1
+
+    pending = None
+    for s in range(0, len(loaded), chunk):
+        launched = launch(s)
+        if pending is not None:
+            drain(*pending)
+        pending = launched
+    if pending is not None:
+        drain(*pending)
+    wall = time.time() - since
+    print(f'Processed {cnt * step} images in {wall:.2f} s '
+          f'({cnt * step / max(wall, 1e-9):.1f} images/s, batched forward)')
 
 
 def factory_outputs(args, cpu_image, annotations, dic_out, output_path, kk=None):

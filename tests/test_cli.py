@@ -8,6 +8,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -56,6 +57,40 @@ class TestTrainPredictMono:
         for key in ('boxes', 'dds_pred', 'stds_ale', 'xyz_pred', 'angles', 'confs'):
             assert key in dic
         assert len(dic['dds_pred']) == len(dic['boxes']) > 0
+
+    def test_predict_batched_matches_per_image(self, trained_model, tmp_path):
+        """3+ images route through the chunked batched path; the json outputs
+        must carry the same predictions as the per-image loop."""
+        import shutil
+        ann = os.path.join(HERE, 'fixture_002282.pifpaf.json')
+        batch_dir = tmp_path / 'batched'
+        single_dir = tmp_path / 'single'
+        imgs = []
+        for d in (batch_dir, single_dir):
+            d.mkdir()
+            for k in range(3):
+                img = str(d / f'im{k}.png')
+                shutil.copy(IMAGE, img)
+                shutil.copy(ann, img + '.pifpaf.json')
+                if d == batch_dir:
+                    imgs.append(img)
+        run_cli('predict', *imgs, '--mode', 'mono', '--model', trained_model,
+                '--calibration', 'kitti', '--output_types', 'json',
+                '-o', str(batch_dir))
+        for k in range(3):  # per-image path: one image per invocation
+            run_cli('predict', str(single_dir / f'im{k}.png'), '--mode',
+                    'mono', '--model', trained_model, '--calibration', 'kitti',
+                    '--output_types', 'json', '-o', str(single_dir))
+        for k in range(3):
+            with open(batch_dir / f'out_im{k}.png.monoloco.json') as f:
+                got = json.load(f)
+            with open(single_dir / f'out_im{k}.png.monoloco.json') as f:
+                want = json.load(f)
+            assert got.keys() == want.keys()
+            np.testing.assert_allclose(got['dds_pred'], want['dds_pred'],
+                                       rtol=1e-4)
+            np.testing.assert_allclose(got['xyz_pred'], want['xyz_pred'],
+                                       rtol=1e-3, atol=1e-4)
 
     def test_predict_social_distance(self, trained_model, tmp_path):
         out_dir = str(tmp_path)
