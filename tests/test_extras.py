@@ -233,3 +233,54 @@ def test_auto_tune_resume_roundtrips_orbax(tmp_path):
     with pytest.raises(ValueError, match='auto_tune_mtl'):
         Trainer(make_args(4, str(tmp_path / 'x.pkl'),
                           resume=str(tmp_path / 'o1.orbax'), auto=False))
+
+
+def test_eval_stats_matches_host_numpy(tmp_path):
+    """The single-dispatch eval_stats program equals a per-subset host
+    computation: masked losses == subset losses, error moments, bi coverage,
+    and the reconstructed std matches numpy's ddof=1 std per cluster."""
+    import jax
+    import jax.numpy as jnp
+    from monoloco_tpu.train.trainer import Trainer
+    from monoloco_tpu.train.losses import composite_losses
+
+    t = Trainer(argparse.Namespace(
+        joints=JOINTS, mode='mono', out=None, epochs=1, bs=128, dropout=0.2,
+        lr=0.002, sched_step=5, sched_gamma=0.9, hidden_size=64, n_stage=2,
+        r_seed=0, auto_tune_mtl=False, no_save=True, print_loss=False))
+    rng = np.random.RandomState(0)
+    n1, n2 = 13, 7
+    x = np.asarray(rng.randn(n1 + n2, 34), np.float32)
+    y = np.concatenate([rng.rand(n1 + n2, 3).astype(np.float32),
+                        (rng.rand(n1 + n2, 1) * 30 + 4).astype(np.float32),
+                        rng.randn(n1 + n2, 5).astype(np.float32)], axis=1)
+    masks = np.zeros((2, n1 + n2), np.float32)
+    masks[0, :n1] = 1.0
+    masks[1, n1:] = 1.0
+
+    losses, stats = t._programs.eval_stats(
+        t.params, t.bn_state, jnp.asarray(x), jnp.asarray(y),
+        jnp.asarray(masks))
+    losses, stats = np.asarray(losses), np.asarray(stats)
+
+    from monoloco_tpu.models import loco_forward
+    from monoloco_tpu.network.decode import extract_outputs, extract_labels
+    out = np.asarray(loco_forward(t.params, t.bn_state, jnp.asarray(x),
+                                  train=False)[0])
+    for g, sl in enumerate((slice(0, n1), slice(n1, n1 + n2))):
+        want = [float(v) for v in composite_losses(
+            jnp.asarray(out[sl]), jnp.asarray(y[sl]), t.tasks, phase='val')]
+        np.testing.assert_allclose(losses[g], want, rtol=1e-5, atol=1e-6)
+        dec = extract_outputs(out[sl])
+        gt = extract_labels(y[sl])
+        errs = np.abs(np.asarray(dec['d']) - np.asarray(gt['d']))[:, 0]
+        bis = np.asarray(dec['bi'])[:, 0]
+        bi_mean, bi_cov, err_sum, err_sumsq, cnt, _aux = stats[g]
+        assert int(cnt) == sl.stop - sl.start
+        np.testing.assert_allclose(bi_mean, bis.mean(), rtol=1e-5)
+        np.testing.assert_allclose(bi_cov, (errs <= bis).mean(), rtol=1e-6)
+        np.testing.assert_allclose(err_sum, errs.sum(), rtol=1e-5)
+        n = int(cnt)
+        mean = err_sum / n
+        var = max(0.0, (err_sumsq - n * mean * mean) / (n - 1))
+        np.testing.assert_allclose(var ** 0.5, errs.std(ddof=1), rtol=1e-3)
