@@ -128,6 +128,8 @@ def run_tpu(mode, root):
     if os.environ.get('H2H_FORCE_CPU'):
         jax.config.update('jax_platforms', 'cpu')
     print('jax backend:', jax.default_backend(), flush=True)
+    from monoloco_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     from monoloco_tpu.prep import PreprocessKitti
     from monoloco_tpu.train import Trainer
     from monoloco_tpu.eval import GenerateKitti, EvalKitti
