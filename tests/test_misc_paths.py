@@ -171,3 +171,28 @@ def test_eval_nuscenes_reeval_cli(tmp_path, monkeypatch):
         '--hidden_size', '64', '--n_stage', '2'])
     from monoloco_tpu.run import main
     main()   # prints per-cluster stats; must not raise
+
+
+def test_find_pifpaf_json_priority(tmp_path):
+    """--json_dir candidates win over image-sibling files; first-match order
+    is stable (predict.py:find_pifpaf_json)."""
+    from monoloco_tpu.predict import find_pifpaf_json
+    img = tmp_path / 'imgs' / 'scene.png'
+    img.parent.mkdir()
+    img.write_bytes(b'x')
+    jd = tmp_path / 'jsons'
+    jd.mkdir()
+    assert find_pifpaf_json(str(img)) is None
+    sibling = img.parent / 'scene.png.pifpaf.json'
+    sibling.write_text('[]')
+    assert find_pifpaf_json(str(img)) == str(sibling)
+    assert find_pifpaf_json(str(img), json_dir=str(jd)) == str(sibling)
+    in_dir = jd / 'scene.png.pifpaf.json'
+    in_dir.write_text('[]')
+    assert find_pifpaf_json(str(img), json_dir=str(jd)) == str(in_dir)
+    stem = jd / 'scene.pifpaf.json'
+    stem.write_text('[]')
+    # full-basename candidate outranks the stem candidate within json_dir
+    assert find_pifpaf_json(str(img), json_dir=str(jd)) == str(in_dir)
+    in_dir.unlink()
+    assert find_pifpaf_json(str(img), json_dir=str(jd)) == str(stem)
