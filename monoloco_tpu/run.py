@@ -12,6 +12,12 @@ flag-for-flag so existing invocations port directly; additions:
 import argparse
 
 
+def _camera_source(value):
+    """Device index (reference contract: int, run.py:82) or a video file path
+    — cv2.VideoCapture accepts both, so `--camera clip.mp4` replays a file."""
+    return int(value) if value.lstrip('-').isdigit() else value
+
+
 def cli():
     parser = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter)
@@ -79,7 +85,8 @@ def cli():
     predict_parser.add_argument('--show_all', action='store_true',
                                 help='only predict ground-truth matches or all')
     predict_parser.add_argument('--webcam', help='monstereo streaming', action='store_true')
-    predict_parser.add_argument('--camera', help='webcam device', type=int, default=0)
+    predict_parser.add_argument('--camera', help='webcam device index, or a video file path',
+                                type=_camera_source, default=0)
     predict_parser.add_argument('--calibration', type=str, default='custom',
                                 help='camera calibration: custom, nuscenes, or kitti')
     predict_parser.add_argument('--focal_length', type=float, default=5.7,

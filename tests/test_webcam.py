@@ -102,3 +102,52 @@ def test_webcam_loop_headless(tmp_path, monkeypatch):
     # headless fallback saves each frame's multi figure
     assert any(f.startswith('out_webcam_0') and f.endswith('.png') for f in made), made
     assert any(f.startswith('out_webcam_1') for f in made), made
+
+
+def test_webcam_real_cv2_video_file(tmp_path, monkeypatch):
+    """Real cv2 end-to-end: encode a synthetic 3-frame video, replay it through
+    the webcam loop via --camera <path> (cv2.VideoCapture file playback), with
+    only the pose backbone stubbed (openpifpaf is not installable offline).
+    Exercises the actual decode -> resize -> BGR2RGB -> engine -> Printer path."""
+    cv2 = pytest.importorskip('cv2')
+
+    video = str(tmp_path / 'clip.avi')
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*'MJPG'), 5.0, (320, 240))
+    assert writer.isOpened()
+    for i in range(3):
+        frame = np.full((240, 320, 3), 40 * (i + 1), np.uint8)
+        cv2.rectangle(frame, (120, 40), (200, 220), (0, 0, 255), -1)
+        writer.write(frame)
+    writer.release()
+
+    import jax
+    from monoloco_tpu.models import init_loco_params
+    from monoloco_tpu.models.checkpoint import save_checkpoint
+    params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 64, 2)
+    model = str(tmp_path / 'w.pkl')
+    save_checkpoint(model, params, bn, meta={'net': 'monoloco_pp'})
+
+    saved = sys.modules.get('openpifpaf')
+    sys.modules['openpifpaf'] = _pifpaf_stub()
+    monkeypatch.chdir(tmp_path)
+    try:
+        from monoloco_tpu.run import _camera_source
+        from monoloco_tpu.visuals.webcam import webcam
+        assert _camera_source('0') == 0
+        assert _camera_source(video) == video
+        args = argparse.Namespace(
+            mode='mono', model=model, net=None, n_dropout=0, dropout=0.2,
+            camera=_camera_source(video), output_types=[], z_max=100,
+            long_edge=None, calibration='custom', focal_length=5.7,
+            checkpoint=None, activities=[], hide_distance=False,
+            no_save=False, show_all=True)
+        webcam(args)
+    finally:
+        if saved is None:
+            sys.modules.pop('openpifpaf', None)
+        else:
+            sys.modules['openpifpaf'] = saved
+    made = os.listdir(tmp_path)
+    for i in range(3):
+        assert any(f.startswith(f'out_webcam_{i}') and f.endswith('.png')
+                   for f in made), (i, made)
