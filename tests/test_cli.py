@@ -106,6 +106,25 @@ class TestTrainPredictMono:
         assert os.path.exists(os.path.join(out_dir, 'out_frame0032.jpg.front.png'))
         assert os.path.exists(os.path.join(out_dir, 'out_frame0032.jpg.bird.png'))
 
+    def test_predict_raise_hand_and_social_distance(self, trained_model, tmp_path):
+        """Reference README hand-raising journey (README.md:204-207):
+        predict --activities raise_hand social_distance --output_types front."""
+        out_dir = str(tmp_path)
+        import shutil
+        ann = os.path.join(HERE, 'fixture_002282.pifpaf.json')
+        img = os.path.join(out_dir, 'raising_hand.jpg')
+        shutil.copy(IMAGE_SD, img)
+        shutil.copy(ann, os.path.join(out_dir, 'raising_hand.pifpaf.json'))
+        run_cli('predict', img, '--mode', 'mono', '--model', trained_model,
+                '--activities', 'raise_hand', 'social_distance',
+                '--output_types', 'front', 'json', '-o', out_dir)
+        assert os.path.exists(os.path.join(out_dir, 'out_raising_hand.jpg.front.png'))
+        with open(os.path.join(out_dir, 'out_raising_hand.jpg.monoloco.json')) as f:
+            dic = json.load(f)
+        # the raise-hand decision list is emitted alongside social distance
+        assert 'raising_hand' in dic and len(dic['raising_hand']) == len(dic['boxes'])
+        assert 'social_distance' in dic
+
 
 class TestTrainStereo:
     def test_train_stereo(self, tmp_path):
