@@ -155,6 +155,60 @@ def _bn(sd, prefix):
     )
 
 
+def _unstack(tree):
+    """Inverse of loco._stack: split the scan-stacked stage pytree back into a
+    list of per-stage pytrees."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    n = leaves[0].shape[0]
+    return [jax.tree_util.tree_unflatten(treedef, [np.asarray(l[i]) for l in leaves])
+            for i in range(n)]
+
+
+def export_torch_state_dict(params, bn_state, arch='loco'):
+    """Inverse of convert_torch_state_dict: (params, bn_state) -> a dict keyed
+    exactly like the reference model's ``state_dict()`` (torch Linear layout:
+    weight (out, in); BN running stats + num_batches_tracked), so checkpoints
+    trained here load into the reference architectures with
+    ``load_state_dict(strict=True)`` (reference network/architectures.py:6-176).
+
+    Values are numpy arrays; pass through ``torch.save({k: torch.tensor(v)...})``
+    for a reference-consumable .pkl (tools/export_torch.py does this).
+    """
+    sd = {}
+
+    def put_linear(prefix, lin):
+        sd[prefix + '.weight'] = np.ascontiguousarray(np.asarray(lin['w']).T)
+        sd[prefix + '.bias'] = np.asarray(lin['b'])
+
+    def put_bn(prefix, bn_p, bn_s):
+        sd[prefix + '.weight'] = np.asarray(bn_p['scale'])
+        sd[prefix + '.bias'] = np.asarray(bn_p['bias'])
+        sd[prefix + '.running_mean'] = np.asarray(bn_s['mean'])
+        sd[prefix + '.running_var'] = np.asarray(bn_s['var'])
+        sd[prefix + '.num_batches_tracked'] = np.zeros((), np.int64)
+
+    put_linear('w1', params['w1'])
+    put_bn('batch_norm1', params['bn1'], bn_state['bn1'])
+    for i, (sp, ss) in enumerate(zip(_unstack(params['stages']),
+                                     _unstack(bn_state['stages']))):
+        pre = f'linear_stages.{i}'
+        put_linear(f'{pre}.w1', sp['w1'])
+        put_bn(f'{pre}.batch_norm1', sp['bn1'], ss['bn1'])
+        put_linear(f'{pre}.w2', sp['w2'])
+        put_bn(f'{pre}.batch_norm2', sp['bn2'], ss['bn2'])
+    if arch == 'loco':
+        put_linear('w2', params['w2'])
+        put_linear('w3', params['w3'])
+        put_bn('batch_norm3', params['bn3'], bn_state['bn3'])
+        put_linear('w_aux', params['w_aux'])
+        put_linear('w_fin', params['w_fin'])
+    elif arch == 'monoloco':
+        put_linear('w2', params['w2'])
+    else:
+        raise ValueError(arch)
+    return sd
+
+
 def convert_torch_state_dict(sd, arch='loco'):
     """Convert a reference state_dict (numpy values) into (params, bn_state)."""
     num_stage = len({k.split('.')[1] for k in sd if k.startswith('linear_stages.')})

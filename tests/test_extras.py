@@ -284,3 +284,33 @@ def test_eval_stats_matches_host_numpy(tmp_path):
         mean = err_sum / n
         var = max(0.0, (err_sumsq - n * mean * mean) / (n - 1))
         np.testing.assert_allclose(var ** 0.5, errs.std(ddof=1), rtol=1e-3)
+
+
+def test_export_torch_state_dict_roundtrip():
+    """Reverse checkpoint export (tools/export_torch.py): exporting our params
+    to the reference state_dict layout and converting back is bit-identical,
+    for both architectures. (Loading the export into the actual reference
+    torch model is covered by tools/parity_check.py, marked slow.)"""
+    import jax
+    from monoloco_tpu.models import init_loco_params, init_monoloco_params
+    from monoloco_tpu.models.checkpoint import (
+        export_torch_state_dict, convert_torch_state_dict)
+
+    for arch, init, dims in (
+            ('loco', init_loco_params, (68, 10, 128, 3)),
+            ('monoloco', init_monoloco_params, (34, 2, 64, 2))):
+        params, bn = init(jax.random.PRNGKey(5), *dims)
+        sd = export_torch_state_dict(params, bn, arch=arch)
+        # torch layout invariants: Linear weight is (out, in); BN counters exist
+        assert sd['w1.weight'].shape == (dims[2], dims[0])
+        assert sd['batch_norm1.num_batches_tracked'].dtype == np.int64
+        back_p, back_bn = convert_torch_state_dict(
+            {k: v for k, v in sd.items() if 'num_batches_tracked' not in k},
+            arch=arch)
+        for got, want in ((back_p, params), (back_bn, bn)):
+            flat_g = jax.tree_util.tree_leaves_with_path(got)
+            flat_w = dict(jax.tree_util.tree_leaves_with_path(want))
+            assert len(flat_g) == len(flat_w)
+            for path, leaf in flat_g:
+                np.testing.assert_array_equal(np.asarray(leaf),
+                                              np.asarray(flat_w[path]), err_msg=str(path))

@@ -1,0 +1,173 @@
+"""Robustness fuzz of the serving pipeline on degenerate pose inputs.
+
+The reference tolerates messy real-world pifpaf output only by accident (its
+per-detection Python loops mostly don't validate anything); here the padded /
+bucketed batch path must stay crash-free and schema-stable for every input a
+pose backend can emit: empty frames, zero-confidence poses, collapsed or
+off-image keypoints, huge crowds crossing bucket boundaries, and stereo frames
+with missing right detections (reference net.py:113-116 fallback).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from monoloco_tpu.models import init_loco_params
+from monoloco_tpu.network import Loco, load_calibration, preprocess_pifpaf
+
+IM_SIZE = (1238, 374)
+
+
+def _ann_from_kps(kps_xyc, score=0.8):
+    kps = np.asarray(kps_xyc, np.float64)  # (17, 3) x,y,conf
+    xs, ys = kps[:, 0], kps[:, 1]
+    return {'keypoints': [float(v) for v in kps.reshape(-1)],
+            'bbox': [float(xs.min()), float(ys.min()),
+                     float(max(xs.max() - xs.min(), 1.0)),
+                     float(max(ys.max() - ys.min(), 1.0))],
+            'score': float(score)}
+
+
+def _random_annotations(rng, n, degenerate_frac=0.5):
+    anns = []
+    for i in range(n):
+        kind = rng.rand()
+        base_x = rng.uniform(-100, IM_SIZE[0] + 100)
+        base_y = rng.uniform(-50, IM_SIZE[1] + 50)
+        kps = np.stack([
+            base_x + rng.uniform(-40, 40, 17),
+            base_y + rng.uniform(-80, 80, 17),
+            rng.uniform(0, 1, 17)], axis=1)
+        if kind < degenerate_frac:
+            mode = i % 4
+            if mode == 0:      # all keypoints collapsed to one pixel
+                kps[:, 0] = base_x
+                kps[:, 1] = base_y
+            elif mode == 1:    # zero confidence everywhere
+                kps[:, 2] = 0.0
+            elif mode == 2:    # far off-image coordinates
+                kps[:, 0] += 1e5
+            else:              # negative coords
+                kps[:, :2] = -np.abs(kps[:, :2])
+        anns.append(_ann_from_kps(kps, score=rng.uniform(0.01, 1.0)))
+    return anns
+
+
+@pytest.fixture(scope='module')
+def net():
+    params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 64, 2)
+    return Loco((params, bn), mode='mono', linear_size=64, n_stage=2)
+
+
+@pytest.fixture(scope='module')
+def stereo_net():
+    params, bn = init_loco_params(jax.random.PRNGKey(1), 68, 10, 64, 2)
+    return Loco((params, bn), mode='stereo', linear_size=64, n_stage=2)
+
+
+class TestMonoFuzz:
+    def test_fuzz_random_and_degenerate_poses(self, net):
+        kk = load_calibration('kitti', IM_SIZE)
+        rng = np.random.RandomState(0)
+        for trial in range(30):
+            n = int(rng.randint(0, 25))
+            anns = _random_annotations(rng, n)
+            boxes, keypoints = preprocess_pifpaf(anns, IM_SIZE)
+            assert len(boxes) == len(keypoints)
+            if not keypoints:
+                continue
+            dic = net.forward(keypoints, kk)
+            m = len(keypoints)
+            assert len(dic['d']) == m and len(dic['xyzd']) == m
+            post = net.post_process(dict(dic), boxes, keypoints, kk)
+            # schema-stable output: every per-detection list has one entry
+            # per kept detection, and the dict is json-serializable
+            kept = len(post['boxes'])
+            for key in ('dds_pred', 'stds_ale', 'xyz_pred', 'angles', 'confs'):
+                assert len(post[key]) == kept, (trial, key)
+            import json
+            json.dumps(post)
+
+    def test_empty_frame(self, net):
+        kk = load_calibration('kitti', IM_SIZE)
+        boxes, keypoints = preprocess_pifpaf([], IM_SIZE)
+        assert boxes == [] and keypoints == []
+
+    def test_confidence_threshold_semantics(self, net):
+        """Reference semantics (process.py:202): kept iff conf >= min_conf, so
+        zero-confidence poses survive the default min_conf=0 but drop at any
+        positive threshold — and the zero-conf rows still forward crash-free."""
+        kk = load_calibration('kitti', IM_SIZE)
+        rng = np.random.RandomState(3)
+        anns = _random_annotations(rng, 5)
+        for a in anns:
+            a['score'] = 0.0
+        boxes, keypoints = preprocess_pifpaf(anns, IM_SIZE)
+        assert len(boxes) == len(keypoints) == 5
+        dic = net.forward(keypoints, kk)
+        assert len(dic['d']) == 5
+        boxes, keypoints = preprocess_pifpaf(anns, IM_SIZE, min_conf=0.1)
+        assert len(boxes) == len(keypoints) == 0
+
+    def test_activities_on_degenerate_poses(self, net):
+        """social_distance + raising_hand decisions never crash, return one
+        bool per detection, on collapsed/off-image poses."""
+        import argparse
+        kk = load_calibration('kitti', IM_SIZE)
+        rng = np.random.RandomState(7)
+        anns = _random_annotations(rng, 8, degenerate_frac=1.0)
+        boxes, keypoints = preprocess_pifpaf(anns, IM_SIZE)
+        if not keypoints:
+            pytest.skip('all filtered')
+        dic = net.forward(keypoints, kk)
+        post = net.post_process(dict(dic), boxes, keypoints, kk)
+        args = argparse.Namespace(threshold_prob=0.25, threshold_dist=2.5,
+                                  radii=(0.3, 0.5, 1), n_dropout=0)
+        post = net.social_distance(post, args)
+        post = net.raising_hand(post, keypoints)
+        kept = len(post['boxes'])
+        assert len(post['social_distance']) == kept
+        assert len(post['raising_hand']) == len(keypoints)
+
+    def test_crowd_crossing_bucket_boundaries(self, net):
+        """Large detection counts (crossing padding buckets) keep per-row
+        numerics identical to small-batch runs of the same rows."""
+        kk = load_calibration('kitti', IM_SIZE)
+        rng = np.random.RandomState(11)
+        anns = _random_annotations(rng, 40, degenerate_frac=0.0)
+        boxes, keypoints = preprocess_pifpaf(anns, IM_SIZE)
+        assert len(keypoints) > 16  # crosses at least one bucket boundary
+        full = net.forward(keypoints, kk)
+        head = net.forward(keypoints[:3], kk)
+        np.testing.assert_allclose(np.asarray(full['d'])[:3],
+                                   np.asarray(head['d']), rtol=2e-4, atol=1e-5)
+
+
+class TestStereoFuzz:
+    def test_missing_right_detections_falls_back(self, stereo_net):
+        """No right keypoints -> the left set substitutes (reference
+        net.py:113-116); output stays schema-stable."""
+        kk = load_calibration('kitti', IM_SIZE)
+        rng = np.random.RandomState(5)
+        anns = _random_annotations(rng, 6, degenerate_frac=0.0)
+        boxes, keypoints = preprocess_pifpaf(anns, IM_SIZE)
+        dic = stereo_net.forward(keypoints, kk, keypoints_r=[])
+        assert len(dic['d']) == len(keypoints)
+        assert np.isfinite(np.asarray(dic['aux'])).all()
+
+    def test_fuzz_asymmetric_left_right(self, stereo_net):
+        kk = load_calibration('kitti', IM_SIZE)
+        rng = np.random.RandomState(6)
+        for trial in range(10):
+            nl, nr = int(rng.randint(1, 12)), int(rng.randint(0, 12))
+            al = _random_annotations(rng, nl)
+            ar = _random_annotations(rng, nr)
+            boxes, kps_l = preprocess_pifpaf(al, IM_SIZE)
+            _, kps_r = preprocess_pifpaf(ar, IM_SIZE)
+            if not kps_l:
+                continue
+            dic = stereo_net.forward(kps_l, kk, keypoints_r=kps_r)
+            assert len(dic['d']) == len(kps_l), trial
+            post = stereo_net.post_process(dict(dic), boxes, kps_l, kk)
+            assert len(post['dds_pred']) == len(post['boxes'])

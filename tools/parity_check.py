@@ -145,8 +145,29 @@ def main():
     fixture_ok = (d_fixture < 1e-3 and dds_diff < 1e-3 and xyz_diff < 1e-2
                   and conf_diff < 1e-4)
 
+    # --- Reverse export: TPU-trained params -> reference state_dict ---
+    # Fresh random jax-side params (NOT torch-derived) exported and loaded
+    # into the actual reference model with strict=True, then forward-compared.
+    from monoloco_tpu.models import init_loco_params
+    from monoloco_tpu.models.checkpoint import export_torch_state_dict
+    params_x, bn_x = init_loco_params(jax.random.PRNGKey(11), in_dim, out_dim,
+                                      hidden, n_stage)
+    sd_x = export_torch_state_dict(params_x, bn_x, arch='loco')
+    ref_import = RefLocoModel(input_size=in_dim, output_size=out_dim,
+                              linear_size=hidden, p_dropout=0.0,
+                              num_stage=n_stage, device='cpu')
+    ref_import.load_state_dict({k: torch.tensor(v) for k, v in sd_x.items()},
+                               strict=True)
+    ref_import.eval()
+    with torch.no_grad():
+        ref_x = ref_import(torch.tensor(x)).numpy()
+    my_x, _ = loco_forward(params_x, bn_x, jnp.asarray(x), train=False)
+    err_export = np.abs(ref_x - np.asarray(my_x)).max()
+    print(f"reverse export forward max abs err: {err_export:.3e}")
+
     ok = (err_eval < 1e-3 and err_train < 1e-3 and err_fold < 1e-3
-          and abs(float(ref_loss) - float(my_loss)) < 1e-3 and fixture_ok)
+          and abs(float(ref_loss) - float(my_loss)) < 1e-3 and fixture_ok
+          and err_export < 1e-3)
     print("PARITY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
