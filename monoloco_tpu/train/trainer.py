@@ -510,6 +510,18 @@ class Trainer:
         dataset = self.datasets['val']
         size_eval = len(dataset)
 
+        if debug:
+            # Reference debug_plots (trainer.py:371-382) opens interactive
+            # histograms of shoulder-hip input heights and labels; headless
+            # equivalent: print the same distributions as summary stats.
+            x_dbg, y_dbg = dataset.arrays()
+            heights = np.asarray(x_dbg)[:, 11] - np.asarray(x_dbg)[:, 5]
+            for name, arr in (('shoulder-hip height', heights),
+                              ('labels', np.asarray(y_dbg).ravel())):
+                qs = np.percentile(arr, [0, 25, 50, 75, 100])
+                print(f"debug {name}: n={arr.size} "
+                      f"min/q1/med/q3/max = {np.round(qs, 3).tolist()}")
+
         # Whole evaluation (val set + every distance cluster) as ONE jitted
         # dispatch over a concatenated matrix with per-group row masks. The
         # reference loops the subsets on the host (trainer.py:212-228); eager
