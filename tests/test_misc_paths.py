@@ -196,3 +196,19 @@ def test_find_pifpaf_json_priority(tmp_path):
     assert find_pifpaf_json(str(img), json_dir=str(jd)) == str(in_dir)
     in_dir.unlink()
     assert find_pifpaf_json(str(img), json_dir=str(jd)) == str(stem)
+
+
+def test_bench_generate_full_scale_tool(tmp_path):
+    """tools/bench_generate_full_scale.py at tiny scale: builds the dataset,
+    serves it through GenerateKitti, and reports a complete txt set."""
+    import json as _json
+    import subprocess
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu')
+    root = str(tmp_path / 'fs')
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'bench_generate_full_scale.py'),
+         root, '--n_val', '4'],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+    rec = _json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec['txt_written'] == rec['n_images'] == 4
