@@ -133,6 +133,16 @@ def factory_from_args(args):
 def predict(args):
     assert args.mode in ('keypoints', 'mono', 'stereo')
     args = factory_from_args(args)
+    if getattr(args, 'profile', None):
+        # Symmetric with train --profile (SURVEY.md section 5 tracing): wrap
+        # the whole run in a jax.profiler trace for the given directory.
+        import jax
+        with jax.profiler.trace(args.profile):
+            return _predict_run(args)
+    return _predict_run(args)
+
+
+def _predict_run(args):
 
     net = None
     if args.mode in ('mono', 'stereo'):

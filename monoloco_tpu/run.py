@@ -87,6 +87,7 @@ def cli():
     predict_parser.add_argument('--webcam', help='monstereo streaming', action='store_true')
     predict_parser.add_argument('--camera', help='webcam device index, or a video file path',
                                 type=_camera_source, default=0)
+    predict_parser.add_argument('--profile', help='directory for jax profiler traces')
     predict_parser.add_argument('--calibration', type=str, default='custom',
                                 help='camera calibration: custom, nuscenes, or kitti')
     predict_parser.add_argument('--focal_length', type=float, default=5.7,
