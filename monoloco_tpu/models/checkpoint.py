@@ -140,8 +140,17 @@ def load_checkpoint(path, arch='loco'):
         state = state.state_dict()
     np_state = {k: v.detach().cpu().numpy() for k, v in state.items()
                 if 'num_batches_tracked' not in k}
+    # The two reference architectures differ by the post-stage layers; correct
+    # a mismatched arch hint from the key set ('w3' exists only in LocoModel)
+    # so callers without prior knowledge (e.g. tools/export_torch.py) still
+    # load legacy MonoLoco state_dicts.
+    if arch == 'loco' and 'w3.weight' not in np_state:
+        arch = 'monoloco'
+    elif arch == 'monoloco' and 'w3.weight' in np_state:
+        arch = 'loco'
     params, bn_state = convert_torch_state_dict(np_state, arch=arch)
-    return params, bn_state, {'source': 'torch'}
+    net = 'monoloco' if arch == 'monoloco' else None
+    return params, bn_state, {'source': 'torch', 'net': net}
 
 
 def _linear(sd, prefix):

@@ -53,6 +53,9 @@ def webcam(args):
     predictor = openpifpaf.Predictor(checkpoint=args.checkpoint)
 
     cam = cv2.VideoCapture(args.camera)
+    if not cam.isOpened():
+        raise ValueError(f"cannot open camera source {args.camera!r} "
+                         "(device index or video file path)")
     visualizer = None
     print("Webcam started: press q in the terminal to stop")
     while True:

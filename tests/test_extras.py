@@ -314,3 +314,21 @@ def test_export_torch_state_dict_roundtrip():
             for path, leaf in flat_g:
                 np.testing.assert_array_equal(np.asarray(leaf),
                                               np.asarray(flat_w[path]), err_msg=str(path))
+
+
+def test_evaluate_debug_stats(tmp_path, capsys):
+    """evaluate(debug=True) prints the headless distribution stats (the
+    reference's debug_plots histograms, trainer.py:371-382, as summaries)."""
+    import argparse
+    from monoloco_tpu.train import Trainer
+    args = argparse.Namespace(
+        joints=os.path.join(REPO, 'tests', 'fixture_joints-kitti-mono.json'),
+        mode='mono', out=None, epochs=1, bs=512, dropout=0.2, lr=0.002,
+        sched_step=30, sched_gamma=0.98, hidden_size=32, n_stage=2, r_seed=1,
+        auto_tune_mtl=False, no_save=True, print_loss=False)
+    t = Trainer(args)
+    t.train()
+    t.evaluate(debug=True)
+    out = capsys.readouterr().out
+    assert 'debug shoulder-hip height' in out
+    assert 'debug labels' in out

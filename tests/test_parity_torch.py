@@ -54,3 +54,31 @@ print('EXPORT ROUNDTRIP OK')
                          capture_output=True, text=True, timeout=1200)
     assert res.returncode == 0, res.stdout + res.stderr
     assert 'EXPORT ROUNDTRIP OK' in res.stdout
+
+
+@pytest.mark.slow
+def test_legacy_torch_arch_autodetect(tmp_path):
+    """A legacy MonoLoco torch state_dict (no 'w3') loads through the torch
+    fallback even with the default arch hint: the key set corrects the arch
+    and meta carries net='monoloco' for tools/export_torch.py."""
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu')
+    path = str(tmp_path / 'legacy.pkl')
+    prog = f"""
+import jax; jax.config.update('jax_platforms', 'cpu')
+import collections, numpy as np, torch
+from monoloco_tpu.models import init_monoloco_params, monoloco_forward
+from monoloco_tpu.models.checkpoint import export_torch_state_dict, load_checkpoint
+p, bn = init_monoloco_params(jax.random.PRNGKey(2), 34, 2, 64, 2)
+sd = export_torch_state_dict(p, bn, arch='monoloco')
+torch.save(collections.OrderedDict((k, torch.tensor(v)) for k, v in sd.items()), {path!r})
+p2, bn2, meta = load_checkpoint({path!r})
+assert meta == {{'source': 'torch', 'net': 'monoloco'}}, meta
+x = jax.numpy.asarray(np.random.RandomState(0).randn(4, 34).astype('float32'))
+a, _ = monoloco_forward(p, bn, x); b, _ = monoloco_forward(p2, bn2, x)
+np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+print('LEGACY AUTODETECT OK')
+"""
+    res = subprocess.run([sys.executable, '-c', prog], env=env, cwd=REPO,
+                         capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert 'LEGACY AUTODETECT OK' in res.stdout

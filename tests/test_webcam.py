@@ -15,6 +15,9 @@ class _FakeCapture:
     def __init__(self, *_):
         self.frames_left = 2
 
+    def isOpened(self):
+        return True
+
     def read(self):
         if self.frames_left == 0:
             return False, None

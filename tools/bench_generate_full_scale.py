@@ -34,11 +34,19 @@ def main():
     ap.add_argument('--n_val', type=int, default=3769)
     ap.add_argument('--model', default=None)
     args = ap.parse_args()
+    args.root = os.path.abspath(args.root)
+    if args.model:
+        args.model = os.path.abspath(args.model)
 
     from make_synthetic_kitti import make_dataset
     t0 = time.time()
-    if not os.path.exists(os.path.join(args.root, 'splits', 'kitti_val.txt')):
+    val_split = os.path.join(args.root, 'splits', 'kitti_val.txt')
+    if not os.path.exists(val_split):
         make_dataset(args.root, n_train=8, n_val=args.n_val, seed=13)
+    # Reused roots keep their existing dataset; report its REAL size, not the
+    # requested one, so images/sec can't drift on rerun.
+    with open(val_split) as f:
+        args.n_val = len([l for l in f if l.strip()])
     print(f'dataset ({args.n_val} val scenes): {time.time() - t0:.1f}s',
           flush=True)
 
@@ -71,11 +79,16 @@ def main():
         mesh=mesh)
     gen = GenerateKitti(gen_args)
 
+    out_dir = os.path.join('data', 'kitti', 'monoloco_pp'
+                           if args.mode == 'mono' else 'monstereo')
+    if os.path.isdir(out_dir):
+        for f in os.listdir(out_dir):     # stale txts would fake txt_written
+            if f.endswith('.txt'):
+                os.remove(os.path.join(out_dir, f))
+
     t1 = time.time()
     gen.run()
     wall = time.time() - t1
-    out_dir = os.path.join('data', 'kitti', 'monoloco_pp'
-                           if args.mode == 'mono' else 'monstereo')
     n_txt = len([f for f in os.listdir(out_dir) if f.endswith('.txt')]) \
         if os.path.isdir(out_dir) else -1
     print(json.dumps({

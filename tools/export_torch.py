@@ -16,6 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
     src, dst = sys.argv[1], sys.argv[2]
     from monoloco_tpu.models.checkpoint import (
         load_checkpoint, export_torch_state_dict)
