@@ -27,7 +27,12 @@ import jax.numpy as jnp
 # pins full f32 for maximum numerical parity with the f32 reference, e.g. when
 # evaluating converted reference checkpoints:
 #   MONOLOCO_TPU_PRECISION=float32 python -m monoloco_tpu.run eval ...
+# bench.py-style aliases (f32/bf16; int8 is a bench-only path) normalize to
+# jax.default_matmul_precision values so both spellings work everywhere.
 _MATMUL_PRECISION = os.environ.get('MONOLOCO_TPU_PRECISION', 'default')
+_MATMUL_PRECISION = {'f32': 'float32', 'fp32': 'float32', 'bf16': 'bfloat16',
+                     'int8': 'default'}.get(_MATMUL_PRECISION, _MATMUL_PRECISION)
+_PIN_F32 = _MATMUL_PRECISION in ('float32', 'highest')
 
 from ..geometry import get_iou_matches, reorder_matches
 from ..geometry.host import (
@@ -52,12 +57,22 @@ LINEAR_SIZE_MONO = 256
 _USE_PALLAS = os.environ.get('MONOLOCO_TPU_KERNEL', '') == 'pallas'
 
 
-def _mlp_forward(folded, inputs, arch):
-    if _USE_PALLAS and arch == 'loco' and folded['l0']['w'].shape[1] % 128 == 0:
+def _mlp_forward(weights, inputs, arch):
+    """Eval MLP on `weights`: either a folded-params dict (XLA path, or packed
+    on the fly for Pallas) or a pre-packed Pallas weight tuple (packed once at
+    Loco init so the per-dispatch stack/cast work is not repaid every call)."""
+    if isinstance(weights, tuple):
         from ..ops import fused_loco_forward
-        interpret = jax.default_backend() != 'tpu'
-        return fused_loco_forward(folded, inputs, interpret=interpret)
-    return folded_forward(folded, inputs, arch=arch)
+        return fused_loco_forward(None, inputs, packed=weights,
+                                  interpret=jax.default_backend() != 'tpu')
+    if _USE_PALLAS and arch == 'loco' and weights['l0']['w'].shape[1] % 128 == 0:
+        from ..ops import fused_loco_forward
+        # Honor the f32 precision pin inside the kernel too (matmul-precision
+        # context managers do not reach Pallas).
+        return fused_loco_forward(weights, inputs,
+                                  dtype=jnp.float32 if _PIN_F32 else jnp.bfloat16,
+                                  interpret=jax.default_backend() != 'tpu')
+    return folded_forward(weights, inputs, arch=arch)
 
 
 def _bucket(n, minimum=4):
@@ -117,6 +132,14 @@ class Loco:
         self.linear_size = linear_size = int(self.params['w1']['w'].shape[1])
         self.n_stage = int(self.params['stages']['w1']['w'].shape[0])
         self.folded = fold_eval_params(self.params, self.bn_state, arch=self.arch)
+        # Pallas route: pack (stack + cast) the kernel weight stack ONCE here
+        # rather than on every dispatch inside the jitted programs; the packed
+        # tuple is what the programs receive as their traced weights argument.
+        self.mlp_weights = self.folded
+        if _USE_PALLAS and self.arch == 'loco' and linear_size % 128 == 0:
+            from ..ops import pack_folded_weights
+            self.mlp_weights = pack_folded_weights(
+                self.folded, dtype=jnp.float32 if _PIN_F32 else jnp.bfloat16)
         self._infer_cache = {}
 
     # ------------------------------------------------------------------
@@ -153,18 +176,26 @@ class Loco:
                 best = jnp.argmax(aux, axis=1)
                 selected = jnp.take_along_axis(out3, best[:, None, None],
                                                axis=1)[:, 0, :]
-                return extract_outputs(selected)
+                out = extract_outputs(selected)
+                # Which right candidate won per left keypoint — the selection
+                # mask consumers like median_disparity need (the reference
+                # gets it from filter_outputs, net.py:120-121).
+                out['aux_idx'] = best
+                return out
 
         return jax.jit(program)
 
     def _get_program(self, kind):
         if kind not in self._infer_cache:
-            if kind == 'stereo':
-                self._infer_cache[kind] = self._stereo_program()
-            elif kind == 'mono':
-                self._infer_cache[kind] = self._mono_program()
-            elif kind == 'mc':
-                self._infer_cache[kind] = self._mc_program()
+            builders = {
+                'stereo': self._stereo_program,
+                'mono': self._mono_program,
+                'mc': self._mc_program,
+                'batch': self._batch_program,
+                'batch_stereo': self._batch_stereo_program,
+                'batch_mc': self._batch_mc_program,
+            }
+            self._infer_cache[kind] = builders[kind]()
         return self._infer_cache[kind]
 
     def _mc_program(self):
@@ -216,12 +247,13 @@ class Loco:
             r_mask = np.zeros((br,), bool)
             r_mask[:r] = True
             dic = self._get_program('stereo')(
-                self.folded, jnp.asarray(_pad_rows(kps, bm)),
+                self.mlp_weights, jnp.asarray(_pad_rows(kps, bm)),
                 jnp.asarray(_pad_rows(kps_r, br)), jnp.asarray(r_mask), kk_arr)
+            kps_dev = None
         else:
             bm = _bucket(m)
-            dic = self._get_program('mono')(
-                self.folded, jnp.asarray(_pad_rows(kps, bm)), kk_arr)
+            kps_dev = jnp.asarray(_pad_rows(kps, bm))
+            dic = self._get_program('mono')(self.mlp_weights, kps_dev, kk_arr)
 
         dic = jax.device_get(dic)
         dic_out = {}
@@ -232,11 +264,9 @@ class Loco:
                 dic_out[k] = np.asarray(v)[:m]
 
         if self.n_dropout > 0 and self.net != 'monstereo':
-            bm = _bucket(m)
             rngs = jax.random.split(jax.random.PRNGKey(0), self.n_dropout)
             epi = self._get_program('mc')(
-                self.params, self.bn_state, jnp.asarray(_pad_rows(kps, bm)),
-                kk_arr, rngs)
+                self.params, self.bn_state, kps_dev, kk_arr, rngs)
             dic_out['epi'] = np.asarray(jax.device_get(epi))[:m]
         else:
             dic_out['epi'] = [0.] * m
@@ -252,14 +282,9 @@ class Loco:
         net = self.net
         arch = self.arch
 
-        def per_image(folded, kps, kk):
-            inputs = preprocess_monoloco(kps, kk)
-            return inputs
-
         def program(folded, kps_batch, kk_batch):
             with jax.default_matmul_precision(_MATMUL_PRECISION):
-                inputs = jax.vmap(lambda kp, kk: per_image(folded, kp, kk))(
-                    kps_batch, kk_batch)                 # (B, M, 34)
+                inputs = jax.vmap(preprocess_monoloco)(kps_batch, kk_batch)  # (B, M, 34)
                 b, m_max, feat = inputs.shape
                 raw = _mlp_forward(folded, inputs.reshape(b * m_max, feat), arch)
                 if net == 'monoloco_p':
@@ -399,22 +424,16 @@ class Loco:
                     r_mask[i, 0] = True
             kps_j, kps_r_j, r_mask_j, kks_j = self._shard_batch_args(
                 kps, kps_r, r_mask, kks)
-            if 'batch_stereo' not in self._infer_cache:
-                self._infer_cache['batch_stereo'] = self._batch_stereo_program()
-            dic_dev = self._infer_cache['batch_stereo'](
-                self.folded, kps_j, kps_r_j, r_mask_j, kks_j)
+            dic_dev = self._get_program('batch_stereo')(
+                self.mlp_weights, kps_j, kps_r_j, r_mask_j, kks_j)
         else:
             kps_j, kks_j = self._shard_batch_args(kps, kks)
-            if 'batch' not in self._infer_cache:
-                self._infer_cache['batch'] = self._batch_program()
-            dic_dev = self._infer_cache['batch'](self.folded, kps_j, kks_j)
+            dic_dev = self._get_program('batch')(self.mlp_weights, kps_j, kks_j)
 
         epi_dev = None
         if self.n_dropout > 0 and not stereo:
             rngs = jax.random.split(jax.random.PRNGKey(0), self.n_dropout)
-            if 'batch_mc' not in self._infer_cache:
-                self._infer_cache['batch_mc'] = self._batch_mc_program()
-            epi_dev = self._infer_cache['batch_mc'](
+            epi_dev = self._get_program('batch_mc')(
                 self.params, self.bn_state, kps_j, kks_j, rngs)
 
         def finalize():
@@ -457,7 +476,6 @@ class Loco:
             boxes_gt = dic_gt['boxes']
             dds_gt = [el[3] for el in dic_gt['ys']]
             matches = get_iou_matches(boxes, boxes_gt, iou_min=iou_min)
-            dic_out['gt'] = [True]
             if verbose:
                 print(f"found {len(matches)} matches with ground-truth")
             idxs_matches = [el[0] for el in matches]
@@ -550,20 +568,28 @@ class Loco:
         return dic_out
 
 
-def median_disparity(dic_out, keypoints, keypoints_r, mask):
+def median_disparity(dic_out, keypoints, keypoints_r, mask=None):
     """Ablation: replace the stereo net's depth with the median joint
     disparity whenever a confident stereo match exists (reference
-    net.py:274-293). dic_out['xyzd'] is updated in place (numpy)."""
+    net.py:274-293). dic_out['xyzd'] is updated in place (numpy).
+
+    The winning right candidate per left keypoint comes from `mask` (an
+    (m, r) selection matrix, reference filter_outputs form) or — when mask is
+    None — from dic_out['aux_idx'] as returned by the engine's stereo
+    forward."""
     from ..geometry import mask_joint_disparity
     keypoints = np.asarray(keypoints)
     keypoints_r = np.asarray(keypoints_r)
-    mask = np.asarray(mask)
+    if mask is None:
+        idx_right = np.asarray(dic_out['aux_idx']).reshape(-1)
+    else:
+        idx_right = np.argmax(np.asarray(mask), axis=1)
     avg_disparities, _, _ = mask_joint_disparity(keypoints, keypoints_r)
     BF = 0.54 * 721
     xyzd = np.asarray(dic_out['xyzd']).copy()
     for idx, aux in enumerate(np.asarray(dic_out['aux']).reshape(-1)):
         if aux > 0.5:
-            idx_r = int(np.argmax(mask[idx]))
+            idx_r = int(idx_right[idx])
             z = BF / avg_disparities[idx][idx_r]
             if 1 < z < 80:
                 xyzd[idx][2] = z

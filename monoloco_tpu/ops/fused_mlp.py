@@ -177,7 +177,7 @@ def fused_loco_forward(folded, x, dtype=jnp.bfloat16, tile=512, packed=None,
     Pads the batch to a tile multiple; returns (m, out) f32. Pass a pre-packed
     weight tuple (pack_folded_weights) to avoid re-packing per call.
     """
-    hidden = folded['l0']['w'].shape[1]
+    hidden = packed[0].shape[1] if packed is not None else folded['l0']['w'].shape[1]
     if hidden % 128 != 0:
         raise ValueError(f"fused kernel requires hidden % 128 == 0, got {hidden}")
     if packed is None:

@@ -332,3 +332,37 @@ def test_evaluate_debug_stats(tmp_path, capsys):
     out = capsys.readouterr().out
     assert 'debug shoulder-hip height' in out
     assert 'debug labels' in out
+
+
+def test_pallas_f32_pin_and_stereo_aux_idx():
+    """MONOLOCO_TPU_PRECISION=f32 + MONOLOCO_TPU_KERNEL=pallas: the packed
+    kernel weights honor the f32 pin (cast once at Loco init, not per call),
+    and the stereo forward exposes aux_idx for median_disparity."""
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu',
+               MONOLOCO_TPU_KERNEL='pallas', MONOLOCO_TPU_PRECISION='f32')
+    prog = """
+import jax; jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+from monoloco_tpu.models import init_loco_params
+from monoloco_tpu.network import Loco, load_calibration
+import monoloco_tpu.network.engine as e
+assert e._PIN_F32 and e._MATMUL_PRECISION == 'float32'
+params, bn = init_loco_params(jax.random.PRNGKey(0), 68, 10, 128, 2)
+net = Loco((params, bn), mode='stereo', linear_size=128, n_stage=2)
+assert isinstance(net.mlp_weights, tuple)
+assert net.mlp_weights[0].dtype == jax.numpy.float32
+kk = load_calibration('kitti', (1238, 374))
+rng = np.random.RandomState(0)
+mk = lambda n: [[list(rng.rand(17)*900), list(rng.rand(17)*300), list(rng.rand(17))]
+                for _ in range(n)]
+kl, kr = mk(3), mk(2)
+ds = net.forward(kl, kk, keypoints_r=kr)
+assert len(ds['aux_idx']) == 3 and (np.asarray(ds['aux_idx']) < 2).all()
+from monoloco_tpu.network.engine import median_disparity
+median_disparity(dict(ds), kl, kr)   # mask=None path uses aux_idx
+print('PALLAS F32 OK')
+"""
+    res = subprocess.run([sys.executable, '-c', prog], env=env, cwd=REPO,
+                         capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert 'PALLAS F32 OK' in res.stdout
