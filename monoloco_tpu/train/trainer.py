@@ -62,7 +62,7 @@ def _init_program(input_size, output_size, linear_size, num_stage):
 
 
 @functools.lru_cache(maxsize=None)
-def _train_programs(tasks, lambdas, bs, n, p_drop, auto, mesh, val_idx):
+def _train_programs(tasks, lambdas, bs, n, p_drop, mesh, val_idx):
     """Jitted training programs for one (dataset size, batch size, loss
     config, mesh) combination, cached at module scope.
 
@@ -302,7 +302,6 @@ class Trainer:
         # replicated; XLA inserts the gradient all-reduce.
         self.mesh = getattr(args, 'mesh', None)
         self.n_train = self.x_tr.shape[0]
-        self.steps_per_epoch = math.ceil(self.n_train / self.bs)
 
         # Jitted programs + optimizer from the module-level factory: Trainers
         # with equal shapes/config share compiled executables, and the lr
@@ -310,7 +309,7 @@ class Trainer:
         # staircase decay every sched_step *batches*).
         self._programs = _train_programs(
             tuple(self.tasks), tuple(self.lambdas), int(self.bs),
-            int(self.n_train), float(self.dropout), bool(self.auto_tune_mtl),
+            int(self.n_train), float(self.dropout),
             self.mesh, 1 + list(self.tasks).index(self.val_task))
         self.optimizer = self._programs.optimizer
         self.opt_state = self._programs.opt_init(
@@ -318,6 +317,7 @@ class Trainer:
         self._hyp = (jnp.float32(self.lr), jnp.float32(self.sched_gamma),
                      jnp.float32(max(int(self.sched_step), 1)))
         self.start_epoch = 0
+        self._resume_best = None
 
         # Mid-training resume (an improvement over the reference, which saves
         # model weights only — SURVEY.md section 5 checkpoint/resume).
@@ -341,6 +341,16 @@ class Trainer:
             if 'opt_state' in blob:
                 self.opt_state = jax.tree_util.tree_map(jnp.asarray, blob['opt_state'])
             self.start_epoch = int(extra.get('epoch', 0))
+            # Carry the checkpoint's best-validation serving weights into the
+            # best tracking, so a resumed segment that never beats the prior
+            # best cannot overwrite it with worse weights. Older checkpoints
+            # without the metric fall back to fresh (1e6) tracking.
+            if extra.get('best_val_acc') is not None:
+                self._resume_best = (
+                    float(extra['best_val_acc']),
+                    float(extra.get('best_train_acc', 1e6)),
+                    int(extra.get('best_epoch', self.start_epoch)),
+                    to_jnp(blob['params']), to_jnp(blob['bn_state']))
             self.logger.info('Resumed from %s at epoch %d', self.resume, self.start_epoch)
 
     # ------------------------------------------------------------------
@@ -379,10 +389,16 @@ class Trainer:
 
         # On-device best-validation state (host semantics: strictly-less
         # update against an initial 1e6, best weights start at the current
-        # params).
-        best = (jnp.float32(1e6), jnp.float32(1e6), jnp.int32(self.start_epoch),
-                jax.tree_util.tree_map(jnp.copy, self.params),
-                jax.tree_util.tree_map(jnp.copy, self.bn_state))
+        # params); a resumed run starts from the checkpoint's recorded best.
+        if self._resume_best is not None:
+            b_acc, b_tr, b_ep, b_p, b_bn = self._resume_best
+            best = (jnp.float32(b_acc), jnp.float32(b_tr), jnp.int32(b_ep),
+                    jax.tree_util.tree_map(jnp.copy, b_p),
+                    jax.tree_util.tree_map(jnp.copy, b_bn))
+        else:
+            best = (jnp.float32(1e6), jnp.float32(1e6), jnp.int32(self.start_epoch),
+                    jax.tree_util.tree_map(jnp.copy, self.params),
+                    jax.tree_util.tree_map(jnp.copy, self.bn_state))
 
         for cs in range(self.start_epoch, self.num_epochs, self.CHUNK_EPOCHS):
             ce = min(cs + self.CHUNK_EPOCHS, self.num_epochs)
@@ -419,10 +435,14 @@ class Trainer:
         dispatches + a blocking log fetch per epoch. Identical math to the
         chunked scan; cheaper one-time compile, slower steady-state."""
         since = time.time()
-        best_acc = 1e6
-        best_training_acc = 1e6
-        best_epoch = self.start_epoch
-        best_params, best_bn = self.params, self.bn_state
+        if self._resume_best is not None:
+            best_acc, best_training_acc, best_epoch, best_params, best_bn = \
+                self._resume_best
+        else:
+            best_acc = 1e6
+            best_training_acc = 1e6
+            best_epoch = self.start_epoch
+            best_params, best_bn = self.params, self.bn_state
         epoch_losses = defaultdict(lambda: defaultdict(list))
         n_tr = float(self.dataset_sizes['train'])
         names = ['all'] + list(self.tasks)
@@ -464,9 +484,10 @@ class Trainer:
 
     def _finish_train(self, since, epoch_losses, best_acc, best_training_acc,
                       best_epoch, best_params, best_bn):
-        self.last_epoch = (self.num_epochs - 1
-                           if self.num_epochs > self.start_epoch
-                           else self.start_epoch)
+        # Last epoch actually completed: num_epochs-1 when the loop ran, else
+        # the previously-completed start_epoch-1 (a zero-epoch run must not
+        # inflate the saved meta 'epoch' and skip an epoch on the next resume).
+        self.last_epoch = max(self.num_epochs, self.start_epoch) - 1
         time_elapsed = time.time() - since
         print('\n\n' + '-' * 120)
         self.logger.info('Training:\nTraining complete in {:.0f}m {:.0f}s'
@@ -482,6 +503,10 @@ class Trainer:
         self.final_params = self.params
         self.final_bn_state = self.bn_state
         self.params, self.bn_state = best_params, best_bn
+        # Recorded in the checkpoint meta so --resume continues best tracking.
+        self.best_acc = best_acc
+        self.best_training_acc = best_training_acc
+        self.best_epoch = best_epoch
         return best_epoch
 
     def _cout_epoch(self, epoch, epoch_losses):
@@ -579,6 +604,9 @@ class Trainer:
                 'meta': {'mode': self.mode, 'tasks': self.tasks,
                          'hidden_size': self.hidden_size, 'n_stage': self.n_stage,
                          'epoch': getattr(self, 'last_epoch', 0) + 1,
+                         'best_val_acc': getattr(self, 'best_acc', None),
+                         'best_train_acc': getattr(self, 'best_training_acc', None),
+                         'best_epoch': getattr(self, 'best_epoch', None),
                          'version': __version__},
             }
             # Both formats carry the full blob: serving weights AND resume

@@ -366,3 +366,44 @@ print('PALLAS F32 OK')
                          capture_output=True, text=True, timeout=900)
     assert res.returncode == 0, res.stdout + res.stderr
     assert 'PALLAS F32 OK' in res.stdout
+
+
+def test_resume_zero_epochs_preserves_best_and_epoch(tmp_path):
+    """Resuming with no additional epochs must be a no-op: the served weights
+    stay the checkpoint's best-validation weights (not the final training
+    state) and the saved meta 'epoch' does not inflate."""
+    import pickle
+    import jax
+    from monoloco_tpu.train import Trainer
+
+    def make_args(epochs, out, resume=None):
+        return argparse.Namespace(
+            joints=JOINTS, mode='mono', out=out, epochs=epochs, bs=128,
+            dropout=0.2, lr=0.002, sched_step=5, sched_gamma=0.9,
+            hidden_size=64, n_stage=2, r_seed=3, auto_tune_mtl=False,
+            no_save=False, print_loss=False, resume=resume)
+
+    a_path = str(tmp_path / 'a.pkl')
+    t_a = Trainer(make_args(4, a_path))
+    t_a.train()
+    t_a.evaluate()
+    with open(a_path, 'rb') as f:
+        blob_a = pickle.load(f)
+    assert blob_a['meta']['epoch'] == 4
+    assert blob_a['meta']['best_val_acc'] is not None
+
+    b_path = str(tmp_path / 'b.pkl')
+    t_b = Trainer(make_args(4, b_path, resume=a_path))  # zero new epochs
+    t_b.train()
+    t_b.evaluate()
+    with open(b_path, 'rb') as f:
+        blob_b = pickle.load(f)
+    # epoch must not inflate past the epochs actually run
+    assert blob_b['meta']['epoch'] == 4, blob_b['meta']['epoch']
+    # served weights must still be the prior best, not the final state
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(blob_a['params']),
+            jax.tree_util.tree_leaves_with_path(blob_b['params'])):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb), err_msg=str(pa))
+    assert blob_b['meta']['best_val_acc'] == blob_a['meta']['best_val_acc']
