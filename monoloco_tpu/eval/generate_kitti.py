@@ -81,20 +81,18 @@ class GenerateKitti:
         # stereo all-vs-all, incl. MC-dropout epistemic passes) as single
         # device programs (engine.forward_batch) instead of one dispatch per
         # image — optionally sharded over a device mesh.
-        if self.net in ('monoloco_pp', 'monstereo') and not self.baselines['mono']:
+        # The serial per-image loop below exists solely for the baselines
+        # path (self.net is always monoloco_pp or monstereo).
+        if not self.baselines['mono']:
             return self._run_batched(dir_out)
 
-        for basename in self.set_basename:
-            path_calib = os.path.join(self.dir_kk, basename + '.txt')
-            annotations, kk, tt = factory_file(path_calib, self.dir_ann, basename)
-            boxes, keypoints = preprocess_pifpaf(annotations, im_size=(1242, 374))
-            cat = get_category(keypoints, os.path.join(self.dir_byc, basename + '.json'))
+        load_right = self.net == 'monstereo' or bool(self.baselines['stereo'])
+        for basename in sorted(self.set_basename):
+            (boxes, keypoints, kk, tt, cat, keypoints_r,
+             boxes_r) = self._load_image(basename, load_right)
             if not keypoints:
                 cnt_no_file += 1
                 continue
-            annotations_r, _, _ = factory_file(path_calib, self.dir_ann, basename,
-                                               ann_type='right')
-            _, keypoints_r = preprocess_pifpaf(annotations_r, im_size=(1242, 374))
 
             if self.net == 'monstereo':
                 dic_out = self.model.forward(keypoints, kk, keypoints_r=keypoints_r)
@@ -126,8 +124,8 @@ class GenerateKitti:
                               net=key, cat=cat)
 
                 if self.baselines['stereo']:
-                    dic_xyz = self._run_stereo_baselines(basename, boxes, keypoints,
-                                                         zzs, path_calib)
+                    dic_xyz = self._run_stereo_baselines(
+                        basename, boxes, keypoints, zzs, kk, boxes_r, keypoints_r)
                     for key in dic_xyz:
                         outs = all_outputs['monoloco'].copy()
                         outs[0] = dic_xyz[key]
@@ -156,20 +154,15 @@ class GenerateKitti:
         stereo = self.net == 'monstereo'
         cnt_ann = cnt_file = cnt_no_file = 0
         loaded = []
-        for basename in self.set_basename:
-            path_calib = os.path.join(self.dir_kk, basename + '.txt')
-            annotations, kk, tt = factory_file(path_calib, self.dir_ann, basename)
-            boxes, keypoints = preprocess_pifpaf(annotations, im_size=(1242, 374))
-            cat = get_category(keypoints, os.path.join(self.dir_byc, basename + '.json'))
+        # sorted: chunk membership must be run-to-run deterministic — the
+        # MC-dropout bucket shape (and hence the epi draws) depends on which
+        # images share a chunk, and set iteration order is hash-randomized.
+        for basename in sorted(self.set_basename):
+            (boxes, keypoints, kk, tt, cat, keypoints_r,
+             _boxes_r) = self._load_image(basename, load_right=stereo)
             if not keypoints:
                 cnt_no_file += 1
                 continue
-            keypoints_r = None
-            if stereo:
-                annotations_r, _, _ = factory_file(path_calib, self.dir_ann,
-                                                   basename, ann_type='right')
-                _, keypoints_r = preprocess_pifpaf(annotations_r,
-                                                   im_size=(1242, 374))
             loaded.append((basename, boxes, keypoints, kk, tt, cat, keypoints_r))
 
         # Two-deep software pipeline: chunk i+1 is dispatched (async on the
@@ -211,12 +204,25 @@ class GenerateKitti:
         if self.generate_official:
             create_empty_files(dir_out, self.net)
 
-    def _run_stereo_baselines(self, basename, boxes, keypoints, zzs, path_calib):
-        annotations_r, _, _ = factory_file(path_calib, self.dir_ann, basename,
-                                           ann_type='right')
-        boxes_r, keypoints_r = preprocess_pifpaf(annotations_r, im_size=(1242, 374))
-        _, kk, _ = factory_file(path_calib, self.dir_ann, basename)
+    def _load_image(self, basename, load_right):
+        """Annotations + calibration + category for one image — the ONE place
+        both generation paths (serial baselines loop and batched) load from,
+        so they provably see identical inputs. Right-camera annotations are
+        parsed only when the caller needs them (stereo net or baselines)."""
+        path_calib = os.path.join(self.dir_kk, basename + '.txt')
+        annotations, kk, tt = factory_file(path_calib, self.dir_ann, basename)
+        boxes, keypoints = preprocess_pifpaf(annotations, im_size=(1242, 374))
+        cat = get_category(keypoints, os.path.join(self.dir_byc, basename + '.json'))
+        keypoints_r, boxes_r = None, []
+        if load_right and keypoints:
+            annotations_r, _, _ = factory_file(path_calib, self.dir_ann,
+                                               basename, ann_type='right')
+            boxes_r, keypoints_r = preprocess_pifpaf(annotations_r,
+                                                     im_size=(1242, 374))
+        return boxes, keypoints, kk, tt, cat, keypoints_r, boxes_r
 
+    def _run_stereo_baselines(self, basename, boxes, keypoints, zzs, kk,
+                              boxes_r, keypoints_r):
         uv_centers = np_get_keypoints(np.asarray(keypoints, np.float32), 'bottom')
         xy_centers = np_pixel_to_camera(uv_centers, kk, 1)
 
