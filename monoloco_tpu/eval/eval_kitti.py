@@ -43,11 +43,14 @@ ANALYTIC_BOUNDS = ('task_error', 'pixel_error')
 # methods evaluated without a confidence gate).
 _CONF_FLOOR_SELF = 0.2
 _CONF_FLOOR_EXTERNAL = 0.5
+# NOTE: the 'e2e-pl' key reproduces the reference verbatim (eval_kitti.py:79)
+# — its method list names the method 'e2e', so this override lands on a dead
+# key and e2e evaluates at the 0.5 external floor. Kept for scoring parity.
 _CONF_OVERRIDES = {'monopsr': 0.9, 'e2e-pl': -100, 'oc-stereo': -100,
                    'smoke': -100, 'monodis': -100}
 _IOU_FLOOR = 0.3
 
-_Scene = namedtuple('_Scene', 'boxes labels truncs occs')
+_Scene = namedtuple('_Scene', 'boxes labels truncs occs diffs')
 _Detections = namedtuple('_Detections', 'boxes dds cats bis epis')
 
 
@@ -64,8 +67,6 @@ class EvalKitti:
     CLUSTERS = ('easy', 'moderate', 'hard', 'all', '3', '5', '7', '9', '11', '13',
                 '15', '17', '19', '21', '23', '25', '27', '29', '31', '49')
     ALP_THRESHOLDS = ('<0.5m', '<1m', '<2m')
-    # kept as class attributes for callers/tests that tweak them per-instance
-    OUR_METHODS = list(SELF_METHODS)
     HEADERS = ('method', '<0.5', '<1m', '<2m', 'easy', 'moderate', 'hard', 'all')
     CATEGORIES = ('pedestrian',)
 
@@ -80,21 +81,22 @@ class EvalKitti:
         self.verbose = args.verbose
         self.save = args.save
         self.show = args.show
-        self.methods = [m for m in (*SELF_METHODS, *EXTERNAL_MONO, *EXTERNAL_STEREO)
-                        if self._has_results(m)]
+        all_methods = (*SELF_METHODS, *EXTERNAL_MONO, *EXTERNAL_STEREO)
+        self.methods = [m for m in all_methods if self._has_results(m)]
 
         dir_logs = os.path.join('data', 'logs')
         os.makedirs(dir_logs, exist_ok=True)
         stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M")[2:]
         self.path_results = os.path.join(dir_logs, f'eval-{stamp}.json')
 
-        self.dic_thresh_iou = {m: _IOU_FLOOR for m in self.methods}
+        # Thresholds cover EVERY known method (not just those with results
+        # present), matching the reference's always-populated dicts so
+        # downstream readers never KeyError on an absent baseline directory.
+        self.dic_thresh_iou = {m: _IOU_FLOOR for m in all_methods}
         self.dic_thresh_conf = {
-            m: _CONF_OVERRIDES.get(
-                m, _CONF_FLOOR_SELF if m in SELF_METHODS else _CONF_FLOOR_EXTERNAL)
-            for m in self.methods}
-        self.dic_thresh_conf.update(
-            {k: v for k, v in _CONF_OVERRIDES.items() if k not in self.methods})
+            m: _CONF_FLOOR_SELF if m in SELF_METHODS else _CONF_FLOOR_EXTERNAL
+            for m in all_methods}
+        self.dic_thresh_conf.update(_CONF_OVERRIDES)
 
         gt_names = tuple(os.listdir(self.dir_gt))
         _, self.set_val = split_training(gt_names,
@@ -128,8 +130,8 @@ class EvalKitti:
 
             for name in self.set_val:
                 scene = self._load_scene(name)
-                for box, trunc, occ in zip(scene.boxes, scene.truncs, scene.occs):
-                    self.cnt_gt[get_difficulty(box, trunc, occ)] += 1
+                for difficulty in scene.diffs:
+                    self.cnt_gt[difficulty] += 1
                     self.cnt_gt['all'] += 1
                 if scene.boxes:
                     for method in self.methods:
@@ -138,14 +140,11 @@ class EvalKitti:
             for method in self.errors:
                 self._pad_misses(self.errors[method], self.cnt_gt['all'])
                 for clst in self.CLUSTERS[:-1]:
-                    try:
-                        _cluster_stats(self.dic_stats['test'][method][clst],
-                                       self.errors[method][clst],
-                                       self.dic_stds[method][clst], method)
-                    except ZeroDivisionError:
-                        print('\n' + '-' * 100 + f'\nERROR: method {method} at '
-                              f'cluster {clst} is empty\n' + '-' * 100 + '\n')
-                        raise
+                    # empty clusters come back as -1 sentinels from
+                    # _cluster_stats (documented deviation, DEVIATIONS.md)
+                    _cluster_stats(self.dic_stats['test'][method][clst],
+                                   self.errors[method][clst],
+                                   self.dic_stds[method][clst], method)
 
             print('\n' + self.category.upper() + ':')
             self.show_statistics()
@@ -154,7 +153,8 @@ class EvalKitti:
     def _load_scene(self, name):
         boxes, labels, truncs, occs, _ = parse_ground_truth(
             os.path.join(self.dir_gt, name), self.category)
-        return _Scene(boxes, labels, truncs, occs)
+        diffs = [get_difficulty(b, t, o) for b, t, o in zip(boxes, truncs, occs)]
+        return _Scene(boxes, labels, truncs, occs, diffs)
 
     # ------------------------------------------------------------------
 
@@ -201,8 +201,7 @@ class EvalKitti:
                 continue
             dd_gt = scene.labels[gt_idx][3]
             zz_gt = scene.labels[gt_idx][2]
-            difficulty = get_difficulty(scene.boxes[gt_idx], scene.truncs[gt_idx],
-                                        scene.occs[gt_idx])
+            difficulty = scene.diffs[gt_idx]
             self._tally_error(det.dds[det_idx], dd_gt, difficulty, self.errors[method])
             if method == 'monoloco':
                 # analytic floors ride along with the legacy-net evaluation
