@@ -157,6 +157,13 @@ def show_activities(args, image, output_path, annotations, dic_out):
 
     if 'front' in args.output_types:
         keypoint_sets, _ = get_pifpaf_outputs(annotations)
+        idxs = dic_out.get('indices')
+        if idxs:
+            # post_process filters and reorders detections (gt matching,
+            # left-right); repaint skeletons in output order so each one gets
+            # ITS color/activity flag. (The reference paints in raw annotation
+            # order and silently miscolors when the orders diverge.)
+            keypoint_sets = [keypoint_sets[j] for j in idxs]
         uv_centers = dic_out['uv_heads']
         sizes = [abs(dic_out['uv_heads'][idx][1] - uv_s[1]) / 1.5
                  for idx, uv_s in enumerate(dic_out['uv_shoulders'])]

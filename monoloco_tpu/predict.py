@@ -77,12 +77,17 @@ def run_pifpaf(image_paths, checkpoint=None, batch_size=1, args=None):
     hooks, best-effort, like the reference (predict.py:150-152)."""
     import openpifpaf
     if args is not None:
+        if not hasattr(args, 'force_complete_pose'):
+            # reference predict.py:142 forces complete poses for localization
+            args.force_complete_pose = True
         for mod in (getattr(openpifpaf, 'decoder', None),
                     getattr(openpifpaf, 'Predictor', None)):
             try:
                 mod.configure(args)
-            except Exception:
-                pass  # partial args namespace; keep openpifpaf defaults
+            except Exception as exc:  # partial args namespace
+                LOG.warning("openpifpaf %s.configure skipped (%s) — decoder "
+                            "flags may not take effect",
+                            getattr(mod, '__name__', mod), exc)
     if checkpoint not in _PIFPAF_PREDICTOR:
         _PIFPAF_PREDICTOR[checkpoint] = openpifpaf.Predictor(checkpoint=checkpoint)
     predictor = _PIFPAF_PREDICTOR[checkpoint]
@@ -94,7 +99,15 @@ def load_annotations(image_path, args):
     path = find_pifpaf_json(image_path, getattr(args, 'json_dir', None))
     if path is not None:
         with open(path) as f:
-            return json.load(f)
+            anns = json.load(f)
+        # the loose '<stem>.json' candidate can hit an unrelated file; fail
+        # with the filename instead of crashing later on garbage structure
+        if not isinstance(anns, list) or any(
+                not isinstance(a, dict) or 'keypoints' not in a for a in anns):
+            raise ValueError(f"{path} does not look like pifpaf predictions "
+                             "(expected a list of annotation dicts with "
+                             "'keypoints')")
+        return anns
     if _pifpaf_available():
         for _, anns in run_pifpaf([image_path], checkpoint=args.checkpoint,
                                   args=args):
@@ -123,6 +136,12 @@ def factory_from_args(args):
         assert len(args.images) % 2 == 0, "Odd number of images in a stereo setting"
         assert 'social_distance' not in (args.activities or []), \
             "Social distance not supported in stereo modality"
+    if 'social_distance' in (args.activities or []) and args.net == 'monoloco':
+        # the legacy net predicts no orientation; F-formation checks need yaw
+        # (the reference crashes on an empty angles list here)
+        raise SystemExit("social_distance requires orientation output: the "
+                         "legacy monoloco net does not predict yaw — use "
+                         "monoloco_pp")
     if args.mode != 'keypoints':
         assert any(x in args.output_types for x in ('front', 'bird', 'multi', 'json')), \
             "No output type specified, please select one among front, bird, multi, json"
@@ -168,12 +187,7 @@ def _predict_run(args):
         image_path = args.images[i]
         annotations = load_annotations(image_path, args)
         if args.json_output is not None:
-            json_dir = args.json_output if isinstance(args.json_output, str) \
-                else (args.output_directory or os.path.dirname(image_path))
-            json_out = os.path.join(json_dir, os.path.basename(image_path)
-                                    + '.predictions.json')
-            with open(json_out, 'w') as f:
-                json.dump(annotations, f)
+            _dump_pifpaf_json(args, image_path, annotations)
         annotations_r = load_annotations(args.images[i + 1], args) if step == 2 else None
 
         with open(image_path, 'rb') as f:
@@ -181,11 +195,7 @@ def _predict_run(args):
         im_size = (float(cpu_image.size[0]), float(cpu_image.size[1]))
         im_name = os.path.basename(image_path)
 
-        if args.output_directory is None:
-            splits = os.path.split(image_path)
-            output_path = os.path.join(splits[0], 'out_' + splits[1])
-        else:
-            output_path = os.path.join(args.output_directory, 'out_' + im_name)
+        output_path = _output_path(args, image_path)
         print(f'{cnt} image {im_name} saved as {output_path}')
 
         if args.mode == 'keypoints':
@@ -239,6 +249,8 @@ def _output_path(args, image_path):
 def _dump_pifpaf_json(args, image_path, annotations):
     json_dir = args.json_output if isinstance(args.json_output, str) \
         else (args.output_directory or os.path.dirname(image_path))
+    if json_dir:
+        os.makedirs(json_dir, exist_ok=True)
     json_out = os.path.join(json_dir, os.path.basename(image_path)
                             + '.predictions.json')
     with open(json_out, 'w') as f:
@@ -251,8 +263,8 @@ def _predict_batched(args, net, step):
     and MC-dropout epistemic passes), two-deep async pipeline so the device
     computes while the host draws/writes the previous chunk. Per-image
     post-processing, activities, and outputs are unchanged."""
-    loaded = []
-    for i in range(0, len(args.images), step):
+    def load_one(i):
+        """Annotations + gt/calibration for image index i (and its right pair)."""
         image_path = args.images[i]
         annotations = load_annotations(image_path, args)
         if args.json_output is not None:
@@ -272,15 +284,19 @@ def _predict_batched(args, net, step):
         if step == 2:
             annotations_r = load_annotations(args.images[i + 1], args)
             _, keypoints_r = preprocess_pifpaf(annotations_r, im_size)
-        loaded.append((image_path, annotations, boxes, keypoints, keypoints_r,
-                       kk, dic_gt))
+        return (image_path, annotations, boxes, keypoints, keypoints_r,
+                kk, dic_gt)
 
+    image_idxs = list(range(0, len(args.images), step))
     chunk = 64
     cnt = 0
     since = time.time()
 
     def launch(s):
-        batch = loaded[s:s + chunk]
+        # Loading rides inside the pipeline: chunk s loads (pose jsons or the
+        # pifpaf CNN) while the device still computes chunk s-1, and memory
+        # holds at most two chunks of annotations.
+        batch = [load_one(i) for i in image_idxs[s:s + chunk]]
         fin = net.forward_batch_async(
             [b[3] for b in batch], [b[5] for b in batch],
             keypoints_r_list=[b[4] for b in batch] if step == 2 else None)
@@ -305,7 +321,7 @@ def _predict_batched(args, net, step):
             cnt += 1
 
     pending = None
-    for s in range(0, len(loaded), chunk):
+    for s in range(0, len(image_idxs), chunk):
         launched = launch(s)
         if pending is not None:
             drain(*pending)
