@@ -92,7 +92,9 @@ class PreprocessKitti:
         self.dic_jo['version'] = __version__
         self.dic_names = defaultdict(lambda: defaultdict(list))
 
-        self.names_gt = tuple(os.listdir(self.dir_gt))
+        # sorted: the stereo cascade's np.random seeds advance with global
+        # iteration order, so scene order must not depend on the filesystem
+        self.names_gt = tuple(sorted(os.listdir(self.dir_gt)))
         stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M")[2:]
         arrays = os.path.join('data', 'arrays')
         self.path_joints = os.path.join(arrays, f'joints-kitti-{mode}-{stamp}.json')
@@ -193,10 +195,16 @@ class PreprocessKitti:
             return None
         self.stats['instances'] += len(kps)
 
-        annotations_r, _, _ = factory_file(path_calib, self.dir_ann, basename,
-                                           ann_type='right')
-        det_boxes_r, kps_r = preprocess_pifpaf(annotations_r, im_size=(im_w, im_h),
-                                               min_conf=conf_floor)
+        # Right-camera poses feed only the stereo pairing and the train-phase
+        # flip augmentation; mono val/test scenes never consume them.
+        if self.mode == 'mono' and phase != 'train':
+            det_boxes_r, kps_r = [], []
+        else:
+            annotations_r, _, _ = factory_file(path_calib, self.dir_ann, basename,
+                                               ann_type='right')
+            det_boxes_r, kps_r = preprocess_pifpaf(annotations_r,
+                                                   im_size=(im_w, im_h),
+                                                   min_conf=conf_floor)
 
         if not kps_r:
             views = [_View(det_boxes, kps, kps[0:1].copy(), gt_boxes, gt_labels,
@@ -320,7 +328,9 @@ class PreprocessKitti:
                         social_distance=self.SOCIAL_DISTANCE)
                     n_pos += flag
                     n_neg += not flag
-                    ff.write(line[:-1] + (' 1' if flag else ' 0') + line[-1])
+                    # rstrip-based splice: the reference's line[:-1]+flag+line[-1]
+                    # corrupts the final line of files with no trailing newline
+                    ff.write(line.rstrip('\n') + (' 1' if flag else ' 0') + '\n')
 
         print(f'Written {len(self.set_val)} new files in {dir_out}')
         print(f'Saved {n_pos} positive and {n_neg} negative annotations')
@@ -357,7 +367,10 @@ def parse_ground_truth(path_gt, category, spherical=False):
                 r_t_p = to_spherical(xyz)
                 loc = r_t_p[1:3] + xyz[2:3] + r_t_p[0:1]   # [theta, psi, z, r]
             else:
-                loc = xyz + [math.hypot(math.hypot(xyz[0], xyz[1]), xyz[2])]
+                # exact reference formula (preprocess_kitti.py:357): nested
+                # hypot differs in the last ULP on ~19% of inputs, which
+                # matters for bit-identical distance-cluster binning
+                loc = xyz + [math.sqrt(xyz[0] ** 2 + xyz[1] ** 2 + xyz[2] ** 2)]
             truncs.append(float(fields[1]))
             occs.append(int(fields[2]))
             boxes.append([float(v) for v in fields[4:8]])
