@@ -67,8 +67,12 @@ class Printer:
         self.kk = kk
         self.output_types = args.output_types
         self.z_max = args.z_max
-        self.show = getattr(args, 'show_all', False)
+        # show_all: draw every detection vs only ground-truth matches
+        # (reference draw-loop semantics); show: interactive display.
+        self.show_all = getattr(args, 'show_all', False)
+        self.show = getattr(args, 'show', False)
         self.save = not getattr(args, 'no_save', False)
+        self.dpi = getattr(args, 'dpi', 100)
         self.hide_distance = getattr(args, 'hide_distance', False)
         self.activities = getattr(args, 'activities', [])
 
@@ -82,9 +86,13 @@ class Printer:
         self.xyz = dic_ann.get('xyz_pred', [])
         self.xz_centers = [[p[0], p[2]] for p in self.xyz]
         self.boxes = dic_ann.get('boxes', [])
-        self.uv_heads = dic_ann.get('uv_heads', [])
-        self.uv_shoulders = dic_ann.get('uv_shoulders', [])
         self.xyz_real = dic_ann.get('xyz_real', [])
+        gt_flags = dic_ann.get('gt', [True] * len(self.dds))
+        # Rows to draw: all of them with --show_all (forced when no gt file
+        # was given), else only the gt-matched ones (reference printer
+        # semantics for the flag).
+        self.drawn = [i for i in range(len(self.dds))
+                      if self.show_all or (i < len(gt_flags) and gt_flags[i])]
         auxs = dic_ann.get('aux', [])
         if auxs:
             self.modes = ['stereo' if a > 0.3 else 'mono' for a in auxs]
@@ -112,6 +120,9 @@ class Printer:
         figures, axes = [], []
         self._fig_suffixes = []
         if 'multi' in self.output_types:
+            if any(t in self.output_types for t in ('front', 'bird')):
+                print("WARNING: 'multi' already contains the front and bird "
+                      "views; separate front/bird files are not written")
             self._fig_suffixes = ['.multi.png']
             fig = plt.figure(figsize=(self.FIG_WIDTH * 1.8,
                                       self.FIG_WIDTH * self.height / self.width))
@@ -146,7 +157,20 @@ class Printer:
         ax.front = True
 
     def _setup_bird(self, ax):
+        # FoV dashes from the actual camera frustum: the leftmost pixel ray
+        # at z_max (reference printer.py:424-431); fall back to a fixed ratio
+        # without calibration.
         x_max = self.z_max / 1.5
+        if self.kk is not None:
+            try:
+                import numpy as np
+                from ..geometry.host import np_pixel_to_camera
+                corner = np_pixel_to_camera(
+                    np.asarray([[0.0, float(self.height)]]),
+                    np.asarray(self.kk, np.float64), float(self.z_max))
+                x_max = abs(float(corner[0][0]))
+            except Exception:
+                pass
         ax.plot([0, x_max], [0, self.z_max], 'k--')
         ax.plot([0, -x_max], [0, self.z_max], 'k--')
         ax.set_ylim(0, self.z_max + 1)
@@ -167,10 +191,14 @@ class Printer:
                 self._draw_bird(ax)
         if self.save:
             for fig, suffix in zip(figures, self._fig_suffixes):
-                fig.savefig(self.output_path + suffix, bbox_inches='tight')
+                fig.savefig(self.output_path + suffix, bbox_inches='tight',
+                            dpi=self.dpi)
                 print(f'Image saved: {self.output_path + suffix}')
-        elif self.show:
+        if self.show:
             plt.show(block=False)
+        elif not self.save:
+            print('WARNING: --no_save without an interactive display — no '
+                  'figure output produced')
         if self.close_on_draw:
             for fig in figures:
                 plt.close(fig)
@@ -190,8 +218,14 @@ class Printer:
         for idx, box in enumerate(self.boxes):
             if idx >= len(self.dds):
                 break
+            if idx not in self.drawn:
+                continue
             mode_color = 'deepskyblue' if self.modes[idx] == 'stereo' else 'red'
-            color = self.colors[idx] if self.colors[idx] == 'r' else mode_color
+            if 'social_distance' in (self.activities or []):
+                # violators must stand out from the mono 'red' mode color
+                color = 'r' if self.colors[idx] == 'r' else 'deepskyblue'
+            else:
+                color = mode_color
             x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
             ax.add_patch(Rectangle((x0, y0), x1 - x0, y1 - y0, fill=False,
                                    color=color, linewidth=1.5))
@@ -201,17 +235,28 @@ class Printer:
                         bbox=dict(facecolor=color, alpha=0.8, pad=1))
 
     def _draw_bird(self, ax):
-        for idx, (x, z) in enumerate(self.xz_centers):
-            if z <= 0 or z > self.z_max:
-                continue
+        # Only rows that pass the gt/show_all filter AND sit inside the
+        # visible z range get markers, bars, and arrows (the reference never
+        # draws floating uncertainty segments for filtered instances).
+        visible = [i for i in self.drawn
+                   if 0 < self.xz_centers[i][1] <= self.z_max]
+        for idx in visible:
+            x, z = self.xz_centers[idx]
             color = self.colors[idx] if self.colors[idx] == 'r' else (
                 'deepskyblue' if self.modes[idx] == 'stereo' else 'darkorange')
             ax.plot(x, z, 'o', color=color, markersize=6)
             ax.text(x + 0.2, z + 0.2, str(idx + 1), fontsize=9, color=color)
-        draw_uncertainty(ax, self.xz_centers, self.stds_ale)
-        if any(abs(a) > 1e-9 for a in self.angles):
-            draw_orientation(ax, self.xz_centers, [], self.angles,
-                             self.colors, mode='bird')
+        centers = [self.xz_centers[i] for i in visible]
+        # epistemic bars (MC dropout) behind the aleatoric ones, like the
+        # reference's coral 'Epistemic Uncertainty' line (printer.py:319-403)
+        epi = [self.stds_epi[i] for i in visible]
+        if any(e > 0 for e in epi):
+            draw_uncertainty(ax, centers, epi, color='coral')
+        draw_uncertainty(ax, centers, [self.stds_ale[i] for i in visible])
+        if any(abs(self.angles[i]) > 1e-9 for i in visible):
+            draw_orientation(ax, centers, [],
+                             [self.angles[i] for i in visible],
+                             [self.colors[i] for i in visible], mode='bird')
         for xyz in self.xyz_real:
             if 0 < xyz[2] <= self.z_max:
                 ax.plot(xyz[0], xyz[2], 'kx', markersize=6)

@@ -99,7 +99,8 @@ class TestPrinterContent:
         p.draw(figures, axes, image, dic_out)
         rects = [pa for pa in axes[0].patches if isinstance(pa, Rectangle)]
         assert rects[0].get_edgecolor() == matplotlib.colors.to_rgba('r')
-        assert rects[1].get_edgecolor() == matplotlib.colors.to_rgba('red')
+        # non-violators must be visually distinct from the violator red
+        assert rects[1].get_edgecolor() == matplotlib.colors.to_rgba('deepskyblue')
         for fig in figures:
             plt.close(fig)
 
