@@ -60,7 +60,13 @@ class GenerateKitti:
                 self.dir_images = os.path.join('data', 'kitti', 'images')
                 self.dir_images_r = os.path.join('data', 'kitti', 'images_r')
                 from .reid_baseline import ReID
-                weights = self.reid_checkpoint if os.path.exists(self.reid_checkpoint) else None
+                # --reid_weights lets a user with a Market-1501 checkpoint
+                # (reference reid_baseline.py:30-59) point at it directly;
+                # default falls back to the conventional path, and absent
+                # weights keep the loud-failure behavior in ReID.__init__.
+                weights = getattr(args, 'reid_weights', None)
+                if weights is None and os.path.exists(self.reid_checkpoint):
+                    weights = self.reid_checkpoint
                 self.reid_net = ReID(weights_path=weights, num_classes=751,
                                      height=256, width=128)
 

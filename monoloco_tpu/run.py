@@ -183,6 +183,10 @@ def cli():
                              help='Choose network: monoloco, monoloco_p, monoloco_pp, monstereo')
     eval_parser.add_argument('--baselines', help='whether to evaluate stereo baselines',
                              action='store_true')
+    eval_parser.add_argument('--reid_weights', default=None,
+                             help='path to a Market-1501 ReID checkpoint (torch .pkl/.pth) '
+                                  'for the stereo reid baseline; defaults to '
+                                  'data/models/reid_model_market.pkl if present')
     eval_parser.add_argument('--generate_official', action='store_true',
                              help='whether to add empty txt files for official evaluation')
     eval_parser.add_argument('--dp_devices', type=int, default=1,

@@ -296,9 +296,16 @@ class TestTrainGenerateEval:
         if not os.path.exists('data/object/label_2'):
             os.symlink(os.path.abspath('data/kitti/gt'), 'data/object/label_2')
         os.makedirs('results/synth/data', exist_ok=True)
-        import shutil
+        # Stage stripped to the devkit's 16 columns: the binary fscanf's
+        # exactly 16 fields per row (evaluate_object.cpp:141-148), so the
+        # trailing bi/epi monoloco columns would desync the parse after the
+        # first detection.
         for txt in glob.glob('data/kitti/monoloco_pp/*.txt'):
-            shutil.copy(txt, 'results/synth/data/')
+            rows = [' '.join(line.split()[:16]) for line in open(txt)
+                    if line.split()]
+            with open(os.path.join('results/synth/data',
+                                   os.path.basename(txt)), 'w') as f:
+                f.write('\n'.join(rows) + ('\n' if rows else ''))
         with open('splits/kitti_val.txt') as f:
             names = [l.strip() for l in f if l.strip()]
         with open('lists/val.txt', 'w') as f:

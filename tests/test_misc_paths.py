@@ -43,21 +43,18 @@ def test_geometric_coordinates_depth_accuracy():
     assert centers.shape == (3, 3)
 
 
-def test_webcam_requires_cv2():
+def test_webcam_requires_cv2(monkeypatch):
+    """The no-cv2 error path must fire even where cv2 IS installed: setting
+    sys.modules['cv2'] = None makes `import cv2` raise ImportError, which is
+    exactly the environment the gate protects against."""
     import argparse
     from monoloco_tpu.visuals.webcam import webcam
-    has_cv2 = True
-    try:
-        import cv2  # noqa: F401
-    except ImportError:
-        has_cv2 = False
-    if has_cv2:
-        pytest.skip('cv2 installed; gating not applicable')
+    monkeypatch.setitem(sys.modules, 'cv2', None)
     args = argparse.Namespace(mode='mono', z_max=10, long_edge=None, model=None,
                               net=None, n_dropout=0, dropout=0.2, checkpoint=None,
                               camera=0, calibration='custom', focal_length=5.7,
                               activities=[])
-    with pytest.raises(ImportError):
+    with pytest.raises(ImportError, match='cv2'):
         webcam(args)
 
 

@@ -1,4 +1,4 @@
-"""Head-to-head ALE/ALP: reference PyTorch pipeline vs monoloco_tpu.
+"""Head-to-head ALE/ALP/RALP: reference PyTorch pipeline vs monoloco_tpu.
 
 Runs ONE leg per process (the reference holds cwd-relative class attributes,
 and torch/jax are kept in separate interpreters):
@@ -10,21 +10,38 @@ and torch/jax are kept in separate interpreters):
 
 Each leg: generate the synthetic KITTI dataset (fixed per-mode seed, so both
 frameworks see byte-identical data), run prep once, then train -> generate ->
-EvalKitti at r_seed 1 and 2 (a seed-noise band), with the reference README's
-production config (epochs 500, bs 512, hidden 1024, n_stage 3, dropout 0.2,
-lr 0.002 mono / 0.003 stereo; reference trainer.py:36, run.py:91-109).
+EvalKitti at each seed, with the reference README's production config
+(epochs 500, bs 512, hidden 1024, n_stage 3, dropout 0.2, lr 0.002 mono /
+0.003 stereo; reference trainer.py:36, run.py:91-109). After EvalKitti each
+leg also runs the in-repo C++ KITTI benchmark (kitti-eval/evaluate_object)
+on the generated txts and records the 41-point AP for detection and
+RALP-{5,10}% — the reference's headline published metric
+(reference kitti-eval/evaluate_object.cpp:62-63,318-321).
 Appends one JSON line per (leg, seed) to /tmp/h2h/results.jsonl.
+
+Env knobs:
+  H2H_SEEDS="1,2,3"   training seeds per leg (default "1,2")
+  H2H_NTRAIN / H2H_NVAL   dataset scale (default 160 / 40)
+  H2H_HARD=1          adversarial dataset (occlusion/truncation/crowds/noise,
+                      tools/make_synthetic_kitti.py write_scene_hard)
+  H2H_RESULTS         results jsonl path (default /tmp/h2h/results.jsonl)
+  H2H_FORCE_CPU=1     run the tpu leg on local CPU
 """
 
 import argparse
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DATASET_SEED = {'mono': 7, 'stereo': 8}
-N_TRAIN, N_VAL = 160, 40
+N_TRAIN = int(os.environ.get('H2H_NTRAIN', '160'))
+N_VAL = int(os.environ.get('H2H_NVAL', '40'))
+HARD = os.environ.get('H2H_HARD', '') == '1'
+RESULTS = os.environ.get('H2H_RESULTS', '/tmp/h2h/results.jsonl')
 EPOCHS = 500
 # Training seeds per leg (override: H2H_SEEDS="1,2,3").
 SEEDS = tuple(int(s) for s in os.environ.get('H2H_SEEDS', '1,2').split(','))
@@ -33,9 +50,9 @@ SEEDS = tuple(int(s) for s in os.environ.get('H2H_SEEDS', '1,2').split(','))
 def make_root(root, mode):
     sys.path.insert(0, os.path.join(REPO, 'tools'))
     from make_synthetic_kitti import make_dataset
-    import shutil
     shutil.rmtree(root, ignore_errors=True)
-    make_dataset(root, n_train=N_TRAIN, n_val=N_VAL, seed=DATASET_SEED[mode])
+    make_dataset(root, n_train=N_TRAIN, n_val=N_VAL, seed=DATASET_SEED[mode],
+                 hard=HARD)
     for sub in (('data', 'arrays'), ('data', 'outputs'), ('data', 'logs'),
                 ('data', 'models'), ('figures', 'results')):
         os.makedirs(os.path.join(root, *sub), exist_ok=True)
@@ -66,12 +83,84 @@ def eval_args(mode, model):
 
 
 def extract_metrics(ev, net):
-    ale = {clst: float(ev.dic_stats['test'][net][clst]['mean'])
-           for clst in ('easy', 'moderate', 'all')}
+    ale = {}
+    for clst in ('easy', 'moderate', 'hard', 'all'):
+        try:
+            ale[clst] = float(ev.dic_stats['test'][net][clst]['mean'])
+        except (KeyError, TypeError):
+            ale[clst] = None
     alp = {thr: 100.0 * sum(ev.errors[net][thr]) / max(len(ev.errors[net][thr]), 1)
            for thr in ('<0.5m', '<1m', '<2m')}
     n_matched = len(ev.errors[net]['all'])
     return {'ale': ale, 'alp': alp, 'matched': n_matched}
+
+
+# ---------------------------------------------------------------------------
+# RALP via the in-repo C++ KITTI benchmark
+# ---------------------------------------------------------------------------
+
+def _eval_binary():
+    # Build into the leg root (cwd) so concurrent legs never race on it.
+    binary = os.path.abspath('evaluate_object_h2h')
+    if not os.path.exists(binary):
+        subprocess.run(
+            ['g++', '-O2', '-std=c++17', '-o', binary,
+             os.path.join(REPO, 'kitti-eval', 'evaluate_object.cpp')],
+            check=True)
+    return binary
+
+
+def compute_ralp(net):
+    """Run kitti-eval on the just-generated data/kitti/<net>/ txts (cwd is the
+    leg root). Returns {param: {difficulty: AP%}} for detection and
+    RALP-{5,10}%. Detection txts are staged stripped to the devkit's 16
+    columns (the trailing bi/epi uncertainty columns are monoloco extensions;
+    the reference binary also fscanf's exactly 16 fields,
+    reference evaluate_object.cpp:166-169)."""
+    work = os.path.abspath('ralp_work')
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(os.path.join(work, 'lists'))
+    os.makedirs(os.path.join(work, 'data', 'object'))
+    os.makedirs(os.path.join(work, 'results', net, 'data'))
+    os.makedirs(os.path.join(work, 'results', net, 'plot'))
+
+    val_names = [l.strip() for l in open(os.path.join('splits', 'kitti_val.txt'))
+                 if l.strip()]
+    with open(os.path.join(work, 'lists', 'val.txt'), 'w') as f:
+        f.write('\n'.join(val_names) + '\n')
+    os.symlink(os.path.abspath(os.path.join('data', 'kitti', 'gt')),
+               os.path.join(work, 'data', 'object', 'label_2'))
+    for name in val_names:
+        src = os.path.join('data', 'kitti', net, name + '.txt')
+        dst = os.path.join(work, 'results', net, 'data', name + '.txt')
+        rows = []
+        if os.path.exists(src):
+            for line in open(src):
+                tokens = line.split()
+                if tokens:
+                    rows.append(' '.join(tokens[:16]))
+        with open(dst, 'w') as f:
+            f.write('\n'.join(rows) + ('\n' if rows else ''))
+
+    proc = subprocess.run([_eval_binary(), net, 'val', '1'], cwd=work,
+                          capture_output=True, text=True)
+    if proc.returncode != 0:
+        print(f'RALP eval failed rc={proc.returncode}\n{proc.stdout[-1500:]}'
+              f'\n{proc.stderr[-1500:]}', flush=True)
+        return None
+    out = {}
+    difficulties = ('easy', 'moderate', 'hard', 'all')
+    for param in ('detection', 'detection_5%', 'detection_10%'):
+        path = os.path.join(work, 'results', net,
+                            f'stats_pedestrian_{param}.txt')
+        if not os.path.exists(path):
+            continue
+        rows = [[float(t) for t in line.split()]
+                for line in open(path) if line.strip()]
+        out[param] = {
+            difficulties[i]: round(100.0 * sum(rows[i][1:41]) / 40.0, 2)
+            for i in range(min(len(rows), 4))}
+    return out
 
 
 def run_ref(mode, root):
@@ -116,10 +205,11 @@ def run_ref(mode, root):
         ev = EvalKitti(eval_args(mode, out))
         ev.dic_thresh_conf[net] = -100
         # show_statistics is pure printing, runs after all stats are computed,
-        # and divides by cnt_gt['hard'] == 0 on this dataset — skip it.
+        # and divides by cnt_gt['hard'] == 0 on the friendly dataset — skip it.
         ev.show_statistics = lambda: None
         ev.run()
-        emit('reference', mode, seed, extract_metrics(ev, net), wall)
+        emit('reference', mode, seed, extract_metrics(ev, net), wall,
+             ralp=compute_ralp(net))
 
 
 def run_tpu(mode, root):
@@ -153,7 +243,8 @@ def run_tpu(mode, root):
         ev = EvalKitti(eval_args(mode, out))
         ev.dic_thresh_conf[net] = -100
         ev.run()
-        emit('monoloco_tpu', mode, seed, extract_metrics(ev, net), wall)
+        emit('monoloco_tpu', mode, seed, extract_metrics(ev, net), wall,
+             ralp=compute_ralp(net))
 
 
 def _stub_torchvision():
@@ -175,7 +266,7 @@ def _stub_torchvision():
 
 def already_done(framework, mode, seed):
     try:
-        with open('/tmp/h2h/results.jsonl') as f:
+        with open(RESULTS) as f:
             for line in f:
                 r = json.loads(line)
                 if (r['framework'], r['mode'], r['r_seed']) == (framework, mode, seed):
@@ -185,12 +276,15 @@ def already_done(framework, mode, seed):
     return False
 
 
-def emit(framework, mode, seed, metrics, wall):
+def emit(framework, mode, seed, metrics, wall, ralp=None):
     rec = {'framework': framework, 'mode': mode, 'r_seed': seed,
+           'n_train': N_TRAIN, 'n_val': N_VAL, 'hard': HARD,
            'train_wall_s': round(wall, 1), **metrics}
+    if ralp is not None:
+        rec['ralp'] = ralp
     line = json.dumps(rec)
     print('H2H ' + line, flush=True)
-    with open('/tmp/h2h/results.jsonl', 'a') as f:
+    with open(RESULTS, 'a') as f:
         f.write(line + '\n')
 
 
@@ -198,6 +292,7 @@ def main():
     framework, mode, root = sys.argv[1], sys.argv[2], sys.argv[3]
     assert framework in ('ref', 'tpu') and mode in ('mono', 'stereo')
     os.makedirs('/tmp/h2h', exist_ok=True)
+    os.makedirs(os.path.dirname(os.path.abspath(RESULTS)), exist_ok=True)
     make_root(root, mode)
     os.chdir(root)
     (run_ref if framework == 'ref' else run_tpu)(mode, root)
