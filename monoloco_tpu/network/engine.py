@@ -51,21 +51,53 @@ from ..activity import social_interactions, is_raising_hand
 N_SAMPLES = 100
 LINEAR_SIZE_MONO = 256
 
-# MONOLOCO_TPU_KERNEL=pallas routes the eval MLP through the fused Pallas
-# kernel (ops/fused_mlp.py) when the hidden size is MXU-aligned; the XLA path
-# is the default (equal throughput at these shapes, broader shape support).
-_USE_PALLAS = os.environ.get('MONOLOCO_TPU_KERNEL', '') == 'pallas'
+# MONOLOCO_TPU_KERNEL selects the eval-MLP kernel:
+#   xla (default)   XLA-fused path. Chosen from END-TO-END measurement: the
+#                   Pallas kernel wins the isolated-MLP microbenchmark up to
+#                   2.24x at (hidden 1024, rows 4096) but LOSES inside the
+#                   full serving program (preprocess+MLP+decode fuse into one
+#                   XLA program; splitting at the pallas_call boundary costs
+#                   more than the kernel saves) — PARITY.md round-3 crossover
+#                   study, tools/bench_pallas_crossover.py.
+#   auto            fused kernel inside its measured microbenchmark win regime
+#                   on a real TPU (an ablation: known not to help end-to-end);
+#   pallas          force the fused kernel wherever legal (interpret mode
+#                   off-TPU — the CI coverage path).
+_KERNEL_MODE = os.environ.get('MONOLOCO_TPU_KERNEL', 'xla') or 'xla'
+if _KERNEL_MODE not in ('auto', 'pallas', 'xla'):
+    _KERNEL_MODE = 'xla'
+
+
+def _pallas_serves(hidden, rows):
+    """Measured crossover (tools/bench_pallas_crossover.py on TPU v5e-1,
+    PARITY.md): the fused kernel wins 1.02-2.24x for 512 <= hidden <= 1024 at
+    serving batches 1k-64k (2.24x at the image-stream shape 4096 x 1024); XLA
+    wins at tiny per-image buckets, at 128k+ scan batches, and for the 256-wide
+    legacy trunk. `rows` is static inside the traced program, so the choice is
+    made per compiled shape."""
+    if _KERNEL_MODE == 'pallas':
+        return True
+    if _KERNEL_MODE != 'auto' or jax.default_backend() != 'tpu':
+        return False
+    return 512 <= hidden <= 1024 and 1024 <= rows <= 65536
 
 
 def _mlp_forward(weights, inputs, arch):
-    """Eval MLP on `weights`: either a folded-params dict (XLA path, or packed
-    on the fly for Pallas) or a pre-packed Pallas weight tuple (packed once at
-    Loco init so the per-dispatch stack/cast work is not repaid every call)."""
-    if isinstance(weights, tuple):
-        from ..ops import fused_loco_forward
-        return fused_loco_forward(None, inputs, packed=weights,
-                                  interpret=jax.default_backend() != 'tpu')
-    if _USE_PALLAS and arch == 'loco' and weights['l0']['w'].shape[1] % 128 == 0:
+    """Eval MLP. `weights` is Loco's container {'folded': params dict,
+    'packed': kernel tuple or absent} — packed once at init so the
+    per-dispatch stack/cast work is not repaid every call — or a bare folded
+    dict from direct callers."""
+    if isinstance(weights, dict) and 'folded' in weights:
+        folded = weights['folded']
+        packed = weights.get('packed')
+        if packed is not None and _pallas_serves(folded['l0']['w'].shape[1],
+                                                 inputs.shape[0]):
+            from ..ops import fused_loco_forward
+            return fused_loco_forward(None, inputs, packed=packed,
+                                      interpret=jax.default_backend() != 'tpu')
+        return folded_forward(folded, inputs, arch=arch)
+    if (_KERNEL_MODE == 'pallas' and arch == 'loco'
+            and weights['l0']['w'].shape[1] % 128 == 0):
         from ..ops import fused_loco_forward
         # Honor the f32 precision pin inside the kernel too (matmul-precision
         # context managers do not reach Pallas).
@@ -133,12 +165,18 @@ class Loco:
         self.n_stage = int(self.params['stages']['w1']['w'].shape[0])
         self.folded = fold_eval_params(self.params, self.bn_state, arch=self.arch)
         # Pallas route: pack (stack + cast) the kernel weight stack ONCE here
-        # rather than on every dispatch inside the jitted programs; the packed
-        # tuple is what the programs receive as their traced weights argument.
-        self.mlp_weights = self.folded
-        if _USE_PALLAS and self.arch == 'loco' and linear_size % 128 == 0:
+        # rather than on every dispatch inside the jitted programs. The
+        # container carries both forms; _mlp_forward picks per compiled shape
+        # (auto mode uses the fused kernel only in its measured win regime).
+        self.mlp_weights = {'folded': self.folded}
+        want_packed = (self.arch == 'loco' and linear_size % 128 == 0
+                       and (_KERNEL_MODE == 'pallas'
+                            or (_KERNEL_MODE == 'auto'
+                                and jax.default_backend() == 'tpu'
+                                and 512 <= linear_size <= 1024)))
+        if want_packed:
             from ..ops import pack_folded_weights
-            self.mlp_weights = pack_folded_weights(
+            self.mlp_weights['packed'] = pack_folded_weights(
                 self.folded, dtype=jnp.float32 if _PIN_F32 else jnp.bfloat16)
         self._infer_cache = {}
 

@@ -14,6 +14,29 @@ REPO = os.path.dirname(HERE)
 JOINTS = os.path.join(HERE, 'fixture_joints-kitti-mono.json')
 
 
+def test_pallas_auto_policy(monkeypatch):
+    """Auto kernel selection follows the measured crossover regime (PARITY.md
+    round-3 table): fused kernel at 512<=hidden<=1024 and 1k-64k rows on a
+    real TPU; XLA for tiny buckets, huge batches, the 256 trunk, and any
+    non-TPU backend."""
+    import monoloco_tpu.network.engine as e
+    monkeypatch.setattr(e, '_KERNEL_MODE', 'auto')
+    monkeypatch.setattr(e.jax, 'default_backend', lambda: 'tpu')
+    assert e._pallas_serves(1024, 4096)         # image-stream serving: 2.24x
+    assert e._pallas_serves(1024, 65536)
+    assert e._pallas_serves(512, 1024)
+    assert not e._pallas_serves(1024, 16)       # per-image bucket
+    assert not e._pallas_serves(1024, 131072)   # XLA wins at 128k
+    assert not e._pallas_serves(256, 4096)      # legacy trunk
+    monkeypatch.setattr(e.jax, 'default_backend', lambda: 'cpu')
+    assert not e._pallas_serves(1024, 4096)     # auto never interprets on CPU
+    monkeypatch.setattr(e, '_KERNEL_MODE', 'pallas')
+    assert e._pallas_serves(256, 16)            # forced mode: always
+    monkeypatch.setattr(e, '_KERNEL_MODE', 'xla')
+    monkeypatch.setattr(e.jax, 'default_backend', lambda: 'tpu')
+    assert not e._pallas_serves(1024, 4096)
+
+
 def test_pallas_engine_routing():
     """MONOLOCO_TPU_KERNEL=pallas serves through the fused kernel (interpret
     mode off-TPU) and matches the XLA path within bf16 tolerance."""
@@ -26,14 +49,14 @@ net = e.Loco((params, bn), mode="mono")
 kps = np.random.RandomState(0).rand(3, 3, 17) * 300
 kk = [[718., 0., 600.], [0., 718., 180.], [0., 0., 1.]]
 d = net.forward(kps, kk)
-print("OK", d["d"].shape, e._USE_PALLAS)
+print("OK", d["d"].shape, e._KERNEL_MODE == "pallas", "packed" in net.mlp_weights)
 '''
     env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu',
                MONOLOCO_TPU_KERNEL='pallas')
     res = subprocess.run([sys.executable, '-c', code], cwd=REPO, env=env,
                          capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stdout + res.stderr
-    assert 'OK (3, 1) True' in res.stdout
+    assert 'OK (3, 1) True True' in res.stdout
 
 
 def test_result_figures_render(tmp_path):
@@ -349,8 +372,8 @@ import monoloco_tpu.network.engine as e
 assert e._PIN_F32 and e._MATMUL_PRECISION == 'float32'
 params, bn = init_loco_params(jax.random.PRNGKey(0), 68, 10, 128, 2)
 net = Loco((params, bn), mode='stereo', linear_size=128, n_stage=2)
-assert isinstance(net.mlp_weights, tuple)
-assert net.mlp_weights[0].dtype == jax.numpy.float32
+assert 'packed' in net.mlp_weights
+assert net.mlp_weights['packed'][0].dtype == jax.numpy.float32
 kk = load_calibration('kitti', (1238, 374))
 rng = np.random.RandomState(0)
 mk = lambda n: [[list(rng.rand(17)*900), list(rng.rand(17)*300), list(rng.rand(17))]

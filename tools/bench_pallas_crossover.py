@@ -18,6 +18,7 @@ Usage: python tools/bench_pallas_crossover.py [out.jsonl]
 """
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -25,6 +26,8 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HIDDENS = (256, 1024, 2048)
 BATCHES = (256, 4096, 65536, 131072)

@@ -1,0 +1,112 @@
+"""Summarize head-to-head results.jsonl into the BASELINE.md parity table.
+
+Groups records by (mode, framework), reports per-group mean +- sd / SEM for
+ALE (overall + difficulty-stratified), ALP, matched recall, RALP columns, and
+the cross-framework delta with its standard error (Welch). Usage:
+
+    python tools/h2h_summarize.py [/tmp/h2h/results_r3.jsonl]
+"""
+
+import json
+import math
+import sys
+from collections import defaultdict
+
+
+def stats(xs):
+    xs = [x for x in xs if x is not None]
+    if not xs:
+        return None
+    n = len(xs)
+    mean = sum(xs) / n
+    sd = math.sqrt(sum((x - mean) ** 2 for x in xs) / (n - 1)) if n > 1 else 0.0
+    return dict(n=n, mean=mean, sd=sd, sem=sd / math.sqrt(n) if n > 1 else None,
+                lo=min(xs), hi=max(xs))
+
+
+def welch_delta(a, b):
+    """b - a with its SE (a=reference, b=tpu)."""
+    if not a or not b or a['sem'] is None or b['sem'] is None:
+        return None
+    se = math.sqrt(a['sem'] ** 2 + b['sem'] ** 2)
+    return dict(delta=b['mean'] - a['mean'], se=se,
+                rel_pct=100.0 * (b['mean'] - a['mean']) / a['mean'])
+
+
+def fmt(s, scale=1.0, digits=3):
+    if s is None:
+        return 'n/a'
+    out = f"{s['mean'] * scale:.{digits}f}"
+    if s['sem'] is not None:
+        out += f" ± {s['sem'] * scale:.{digits}f}"
+    return out
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else '/tmp/h2h/results_r3.jsonl'
+    groups = defaultdict(list)
+    for line in open(path):
+        r = json.loads(line)
+        groups[(r['mode'], r['framework'])].append(r)
+
+    for mode in ('mono', 'stereo'):
+        print(f"\n=== {mode} ===")
+        gstats = {}
+        for fw in ('reference', 'monoloco_tpu'):
+            recs = groups.get((mode, fw), [])
+            if not recs:
+                continue
+            g = {}
+            g['ale_all'] = stats([r['ale']['all'] for r in recs])
+            for d in ('easy', 'moderate', 'hard'):
+                g[f'ale_{d}'] = stats([r['ale'].get(d) for r in recs])
+            g['alp05'] = stats([r['alp']['<0.5m'] for r in recs])
+            g['alp1'] = stats([r['alp']['<1m'] for r in recs])
+            g['matched'] = stats([r['matched'] for r in recs])
+            g['wall'] = stats([r['train_wall_s'] for r in recs])
+            for param in ('detection', 'detection_5%', 'detection_10%'):
+                g[f'ralp_{param}'] = stats(
+                    [r.get('ralp', {}).get(param, {}).get('all') for r in recs])
+                g[f'ralp_{param}_mod'] = stats(
+                    [r.get('ralp', {}).get(param, {}).get('moderate') for r in recs])
+            gstats[fw] = g
+            n = g['ale_all']['n'] if g['ale_all'] else 0
+            print(f"\n{fw} ({n} seeds; n_train={recs[0]['n_train']}, "
+                  f"n_val={recs[0]['n_val']}, hard={recs[0]['hard']})")
+            print(f"  ALE all     : {fmt(g['ale_all'])} m "
+                  f"[{g['ale_all']['lo']:.3f}-{g['ale_all']['hi']:.3f}]")
+            for d in ('easy', 'moderate', 'hard'):
+                print(f"  ALE {d:<8}: {fmt(g[f'ale_{d}'])} m")
+            print(f"  ALP <0.5m   : {fmt(g['alp05'], digits=2)} %   "
+                  f"<1m: {fmt(g['alp1'], digits=2)} %")
+            print(f"  matched     : {fmt(g['matched'], digits=1)}")
+            print(f"  RALP det    : {fmt(g['ralp_detection'], digits=2)} "
+                  f"(mod {fmt(g['ralp_detection_mod'], digits=2)})")
+            print(f"  RALP-5%     : {fmt(g['ralp_detection_5%'], digits=2)} "
+                  f"(mod {fmt(g['ralp_detection_5%_mod'], digits=2)})")
+            print(f"  RALP-10%    : {fmt(g['ralp_detection_10%'], digits=2)} "
+                  f"(mod {fmt(g['ralp_detection_10%_mod'], digits=2)})")
+            print(f"  train wall  : {fmt(g['wall'], digits=0)} s")
+
+        if 'reference' in gstats and 'monoloco_tpu' in gstats:
+            print("\ndeltas (tpu - reference):")
+            for key, label, digits in (
+                    ('ale_all', 'ALE all [m]', 4),
+                    ('ale_easy', 'ALE easy [m]', 4),
+                    ('ale_moderate', 'ALE moderate [m]', 4),
+                    ('ale_hard', 'ALE hard [m]', 4),
+                    ('alp05', 'ALP<0.5m [pp]', 2),
+                    ('ralp_detection_5%', 'RALP-5% [pp]', 2),
+                    ('ralp_detection_10%', 'RALP-10% [pp]', 2)):
+                d = welch_delta(gstats['reference'].get(key),
+                                gstats['monoloco_tpu'].get(key))
+                if d is None:
+                    print(f"  {label:<18}: n/a")
+                    continue
+                z = d['delta'] / d['se'] if d['se'] else float('nan')
+                print(f"  {label:<18}: {d['delta']:+.{digits}f} ± {d['se']:.{digits}f}"
+                      f"  ({d['rel_pct']:+.2f}%, {z:+.2f} SE)")
+
+
+if __name__ == '__main__':
+    main()
