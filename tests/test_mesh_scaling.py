@@ -1,0 +1,28 @@
+"""Virtual-mesh scaling-shape regression: sharding must not serialize.
+
+Runs tools/bench_mesh_scaling.py children at a compute-dominated batch and
+asserts the dp8/dp1 fixed-total-batch step-wall ratio stays near 1 (PARITY.md
+round-3 numbers: train 1.02, serve 1.23). Marked slow: each dp width pays a
+fresh-process XLA CPU compile.
+"""
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, 'tools'))
+
+
+@pytest.mark.slow
+def test_dp_sharding_adds_no_serialization():
+    from bench_mesh_scaling import run_child
+    walls = {dp: run_child(dp, batch=4096, hidden=256, reps=3,
+                           what='train')['median_ms']
+             for dp in (1, 8)}
+    ratio = walls[8] / walls[1]
+    # 1.02 measured; 1.6 leaves room for CI-runner noise while still
+    # catching a sharding that serializes (which would land near 8x the
+    # per-shard fixed overhead, >2x in practice).
+    assert ratio <= 1.6, f'dp8/dp1 step-wall ratio {ratio:.2f}'

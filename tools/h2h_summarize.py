@@ -14,7 +14,8 @@ from collections import defaultdict
 
 
 def stats(xs):
-    xs = [x for x in xs if x is not None]
+    # the reference evaluator emits -1.0 as an empty-cluster sentinel
+    xs = [x for x in xs if x is not None and x >= 0]
     if not xs:
         return None
     n = len(xs)
