@@ -26,11 +26,29 @@ def stats(xs):
 
 
 def welch_delta(a, b):
-    """b - a with its SE (a=reference, b=tpu)."""
-    if not a or not b or a['sem'] is None or b['sem'] is None:
+    """b - a with its SE (a=reference, b=tpu).
+
+    With a single seed on one side (sem None) the Welch SE degenerates; fall
+    back to the other side's per-seed sd as the spread estimate for BOTH sides
+    (both frameworks train the same data volume, so seed noise is comparable) —
+    marked approximate in the output.
+    """
+    if not a or not b:
         return None
-    se = math.sqrt(a['sem'] ** 2 + b['sem'] ** 2)
-    return dict(delta=b['mean'] - a['mean'], se=se,
+    approx = False
+    sa, sb = a['sem'], b['sem']
+    if sa is None and sb is None:
+        return None
+    if sa is None:
+        sa = (b['sd'] / math.sqrt(a['n'])) if b['sd'] else None
+        approx = True
+    if sb is None:
+        sb = (a['sd'] / math.sqrt(b['n'])) if a['sd'] else None
+        approx = True
+    if sa is None or sb is None:
+        return None
+    se = math.sqrt(sa ** 2 + sb ** 2)
+    return dict(delta=b['mean'] - a['mean'], se=se, approx=approx,
                 rel_pct=100.0 * (b['mean'] - a['mean']) / a['mean'])
 
 
@@ -105,8 +123,27 @@ def main():
                     print(f"  {label:<18}: n/a")
                     continue
                 z = d['delta'] / d['se'] if d['se'] else float('nan')
+                mark = ' (approx SE: single-seed side)' if d.get('approx') else ''
                 print(f"  {label:<18}: {d['delta']:+.{digits}f} ± {d['se']:.{digits}f}"
-                      f"  ({d['rel_pct']:+.2f}%, {z:+.2f} SE)")
+                      f"  ({d['rel_pct']:+.2f}%, {z:+.2f} SE){mark}")
+
+        if '--md' in sys.argv:
+            print(f"\nmarkdown rows ({mode}):")
+            for fw, tag in (('reference', 'reference'),
+                            ('monoloco_tpu', '**monoloco_tpu**')):
+                g = gstats.get(fw)
+                if not g:
+                    continue
+                def m(key, digits=3, scale=1.0):
+                    s = g.get(key)
+                    return 'n/a' if s is None else f"{s['mean'] * scale:.{digits}f}"
+                sd = g['ale_all']['sd']
+                ale = f"{m('ale_all')} ± {sd:.3f}" if g['ale_all']['n'] > 1 else m('ale_all')
+                print(f"| {mode} | {tag} | {g['ale_all']['n']} | {ale} | "
+                      f"{m('ale_easy')} / {m('ale_moderate')} / {m('ale_hard')} | "
+                      f"{m('alp05', 2)}% | {m('matched', 0)} every leg | "
+                      f"{m('ralp_detection', 2)} / {m('ralp_detection_5%', 2)} / "
+                      f"{m('ralp_detection_10%', 2)} | {m('wall', 0)} s |")
 
 
 if __name__ == '__main__':
