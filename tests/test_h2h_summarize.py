@@ -1,0 +1,95 @@
+"""Unit tests for tools/h2h_summarize.py — the statistics behind the
+BASELINE.md head-to-head parity table (mean/sd/SEM aggregation and the
+Welch delta, including the single-seed-side fallback)."""
+
+import json
+import math
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+
+from h2h_summarize import stats, welch_delta  # noqa: E402
+
+
+def test_stats_basic():
+    s = stats([1.0, 2.0, 3.0])
+    assert s['n'] == 3
+    assert abs(s['mean'] - 2.0) < 1e-12
+    assert abs(s['sd'] - 1.0) < 1e-12
+    assert abs(s['sem'] - 1.0 / math.sqrt(3)) < 1e-12
+    assert (s['lo'], s['hi']) == (1.0, 3.0)
+
+
+def test_stats_filters_sentinels_and_none():
+    # the reference evaluator emits -1.0 for empty clusters
+    s = stats([-1.0, None, 2.0, 4.0])
+    assert s['n'] == 2 and abs(s['mean'] - 3.0) < 1e-12
+    assert stats([-1.0, None]) is None
+    assert stats([]) is None
+
+
+def test_stats_single_value():
+    s = stats([5.0])
+    assert s['n'] == 1 and s['sd'] == 0.0 and s['sem'] is None
+
+
+def test_welch_delta_two_sided():
+    a = stats([1.0, 1.1, 0.9, 1.0])      # reference
+    b = stats([1.2, 1.3, 1.1, 1.2])      # tpu
+    d = welch_delta(a, b)
+    assert not d['approx']
+    assert abs(d['delta'] - 0.2) < 1e-12
+    expected_se = math.sqrt(a['sem'] ** 2 + b['sem'] ** 2)
+    assert abs(d['se'] - expected_se) < 1e-12
+    assert abs(d['rel_pct'] - 20.0) < 1e-9
+
+
+def test_welch_delta_single_seed_fallback():
+    # one reference seed: its spread is approximated with the tpu per-seed sd
+    a = stats([1.0])
+    b = stats([1.2, 1.3, 1.1, 1.2])
+    d = welch_delta(a, b)
+    assert d['approx']
+    borrowed = b['sd'] / math.sqrt(1)
+    assert abs(d['se'] - math.sqrt(borrowed ** 2 + b['sem'] ** 2)) < 1e-12
+    assert abs(d['delta'] - 0.2) < 1e-12
+
+
+def test_welch_delta_degenerate():
+    assert welch_delta(None, stats([1.0, 2.0])) is None
+    # both single-seed: no spread estimate exists at all
+    assert welch_delta(stats([1.0]), stats([2.0])) is None
+
+
+def test_cli_end_to_end(tmp_path):
+    """Run the summarizer CLI on a tiny fixture jsonl and check the markdown
+    row emitter output."""
+    recs = []
+    for fw, seeds, base in (('reference', (1,), 1.30),
+                            ('monoloco_tpu', (1, 2), 1.29)):
+        for s in seeds:
+            recs.append({
+                'framework': fw, 'mode': 'mono', 'r_seed': s,
+                'n_train': 10, 'n_val': 10, 'hard': True,
+                'train_wall_s': 100.0,
+                'ale': {'easy': 1.0, 'moderate': 2.0, 'hard': 3.0,
+                        'all': base + 0.01 * s},
+                'alp': {'<0.5m': 25.0, '<1m': 40.0, '<2m': 60.0},
+                'matched': 7253,
+                'ralp': {'detection': {'all': 75.0, 'moderate': 47.0},
+                         'detection_5%': {'all': 33.0, 'moderate': 7.0},
+                         'detection_10%': {'all': 65.0, 'moderate': 35.0}}})
+    path = tmp_path / 'results.jsonl'
+    path.write_text('\n'.join(json.dumps(r) for r in recs) + '\n')
+    tool = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                        'h2h_summarize.py')
+    out = subprocess.run([sys.executable, tool, str(path), '--md'],
+                         capture_output=True, text=True, check=True).stdout
+    assert 'reference (1 seeds' in out
+    assert 'monoloco_tpu (2 seeds' in out
+    assert 'approx SE: single-seed side' in out
+    # markdown rows present, tpu row reports mean ± sd across its 2 seeds
+    assert '| mono | reference | 1 | 1.310 |' in out
+    assert '| mono | **monoloco_tpu** | 2 | 1.305 ± 0.007 |' in out
