@@ -68,6 +68,16 @@ if _KERNEL_MODE not in ('auto', 'pallas', 'xla'):
     _KERNEL_MODE = 'xla'
 
 
+def _auto_regime_hidden(hidden):
+    """The single source of truth for the kernel's measured win regime in
+    hidden size — shared by _pallas_serves (trace-time route choice) and
+    Loco.__init__'s want_packed (whether packed weights are built at all),
+    so a re-measured crossover cannot be updated in one site and silently
+    strand the other."""
+    return _KERNEL_MODE == 'auto' and jax.default_backend() == 'tpu' \
+        and 512 <= hidden <= 1024
+
+
 def _pallas_serves(hidden, rows):
     """Measured crossover (tools/bench_pallas_crossover.py on TPU v5e-1,
     PARITY.md): the fused kernel wins 1.02-2.24x for 512 <= hidden <= 1024 at
@@ -77,9 +87,7 @@ def _pallas_serves(hidden, rows):
     made per compiled shape."""
     if _KERNEL_MODE == 'pallas':
         return True
-    if _KERNEL_MODE != 'auto' or jax.default_backend() != 'tpu':
-        return False
-    return 512 <= hidden <= 1024 and 1024 <= rows <= 65536
+    return _auto_regime_hidden(hidden) and 1024 <= rows <= 65536
 
 
 def _mlp_forward(weights, inputs, arch):
@@ -171,9 +179,7 @@ class Loco:
         self.mlp_weights = {'folded': self.folded}
         want_packed = (self.arch == 'loco' and linear_size % 128 == 0
                        and (_KERNEL_MODE == 'pallas'
-                            or (_KERNEL_MODE == 'auto'
-                                and jax.default_backend() == 'tpu'
-                                and 512 <= linear_size <= 1024)))
+                            or _auto_regime_hidden(linear_size)))
         if want_packed:
             from ..ops import pack_folded_weights
             self.mlp_weights['packed'] = pack_folded_weights(

@@ -93,3 +93,68 @@ def test_cli_end_to_end(tmp_path):
     # markdown rows present, tpu row reports mean ± sd across its 2 seeds
     assert '| mono | reference | 1 | 1.310 |' in out
     assert '| mono | **monoloco_tpu** | 2 | 1.305 ± 0.007 |' in out
+
+def test_welch_delta_borrows_zero_sd_ties():
+    # a multi-seed side whose values tie exactly (sd 0.0) is still a valid
+    # spread estimate — 0.0 must not be treated as "no estimate"
+    a = stats([1.0])
+    b = stats([2.0, 2.0, 2.0])
+    d = welch_delta(a, b)
+    assert d is not None and d['approx']
+    assert d['delta'] == 1.0 and d['se'] == 0.0
+
+
+def test_welch_delta_zero_reference_mean():
+    # a reference-side mean of exactly 0 (possible for RALP AP columns) must
+    # not divide-by-zero; the relative delta is simply undefined
+    a = stats([0.0, 0.0])
+    b = stats([1.0, 2.0])
+    d = welch_delta(a, b)
+    assert d is not None and d['rel_pct'] is None
+    assert abs(d['delta'] - 1.5) < 1e-12
+
+
+def test_cli_flag_before_path(tmp_path):
+    """--md anywhere in argv must not be mistaken for the results path."""
+    rec = {'framework': 'monoloco_tpu', 'mode': 'mono', 'r_seed': 1,
+           'n_train': 10, 'n_val': 10, 'hard': True, 'train_wall_s': 1.0,
+           'ale': {'easy': 1.0, 'moderate': 2.0, 'hard': 3.0, 'all': 1.5},
+           'alp': {'<0.5m': 25.0, '<1m': 40.0, '<2m': 60.0}, 'matched': 10}
+    path = tmp_path / 'r.jsonl'
+    path.write_text(json.dumps(rec) + '\n')
+    tool = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                        'h2h_summarize.py')
+    out = subprocess.run([sys.executable, tool, '--md', str(path)],
+                         capture_output=True, text=True, check=True).stdout
+    assert 'monoloco_tpu (1 seeds' in out
+
+
+def test_head_to_head_already_done_keys_on_dataset_config(tmp_path, monkeypatch):
+    """A recorded seed only counts as done if it was measured on the SAME
+    (n_train, n_val, hard) dataset config — otherwise re-running with a new
+    config against an old results file silently skips every leg."""
+    import head_to_head as h2h
+    res = tmp_path / 'results.jsonl'
+    res.write_text(json.dumps({
+        'framework': 'reference', 'mode': 'mono', 'r_seed': 1,
+        'n_train': 160, 'n_val': 40, 'hard': False}) + '\n')
+    monkeypatch.setattr(h2h, 'RESULTS', str(res))
+    monkeypatch.setattr(h2h, 'N_TRAIN', 160)
+    monkeypatch.setattr(h2h, 'N_VAL', 40)
+    monkeypatch.setattr(h2h, 'HARD', False)
+    assert h2h.already_done('reference', 'mono', 1)
+    assert not h2h.already_done('reference', 'mono', 2)
+    monkeypatch.setattr(h2h, 'HARD', True)
+    assert not h2h.already_done('reference', 'mono', 1)
+    monkeypatch.setattr(h2h, 'HARD', False)
+    monkeypatch.setattr(h2h, 'N_TRAIN', 2400)
+    assert not h2h.already_done('reference', 'mono', 1)
+
+
+def test_head_to_head_safe_ralp_never_raises(monkeypatch):
+    """RALP runs after a multi-hour reference train; any failure there must
+    degrade to ralp=None, not discard the leg's metrics record."""
+    import head_to_head as h2h
+    monkeypatch.setattr(h2h, 'compute_ralp',
+                        lambda net: (_ for _ in ()).throw(OSError('boom')))
+    assert h2h.safe_ralp('monoloco_pp') is None

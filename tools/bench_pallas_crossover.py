@@ -53,6 +53,16 @@ def main():
     from monoloco_tpu.ops.fused_mlp import pack_folded_weights, fused_loco_forward
 
     records = []
+    open(out_path, 'w').close()
+
+    def emit(rec):
+        # append per measurement so a mid-run tunnel drop keeps the
+        # completed points (this study is ~20 slow remote TPU compiles)
+        print(json.dumps(rec), flush=True)
+        records.append(rec)
+        with open(out_path, 'a') as f:
+            f.write(json.dumps(rec) + '\n')
+
     for hidden in HIDDENS:
         params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, hidden, 3)
         folded = fold_eval_params(params, bn, arch='loco')
@@ -84,11 +94,9 @@ def main():
                                       arch='loco').astype(jnp.float32)
 
             wall = time_fn(make_scan(xla_fwd), x)
-            rec = dict(path='xla', hidden=hidden, batch=batch, scan=length,
-                       wall_per_dispatch_ms=round(wall * 1e3, 3),
-                       inf_per_sec=round(batch * length / wall, 1))
-            print(json.dumps(rec), flush=True)
-            records.append(rec)
+            emit(dict(path='xla', hidden=hidden, batch=batch, scan=length,
+                      wall_per_dispatch_ms=round(wall * 1e3, 3),
+                      inf_per_sec=round(batch * length / wall, 1)))
 
             if hidden <= PALLAS_MAX_HIDDEN:
                 tile = min(512, batch)
@@ -106,12 +114,8 @@ def main():
                 rec = dict(path='pallas', hidden=hidden, batch=batch,
                            skipped='hidden > 1024 exceeds the kernel VMEM '
                                    'double-buffer budget')
-            print(json.dumps(rec), flush=True)
-            records.append(rec)
+            emit(rec)
 
-    with open(out_path, 'w') as f:
-        for rec in records:
-            f.write(json.dumps(rec) + '\n')
     # winner table
     print('\nhidden  batch    xla Minf/s  pallas Minf/s  pallas/xla')
     by_key = {}

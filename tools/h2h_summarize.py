@@ -39,17 +39,20 @@ def welch_delta(a, b):
     sa, sb = a['sem'], b['sem']
     if sa is None and sb is None:
         return None
+    # borrow a spread estimate only from a side that actually has one (n>1);
+    # an n==1 side's sd is a placeholder 0.0, not a measurement
     if sa is None:
-        sa = (b['sd'] / math.sqrt(a['n'])) if b['sd'] else None
+        sa = (b['sd'] / math.sqrt(a['n'])) if b['n'] > 1 else None
         approx = True
     if sb is None:
-        sb = (a['sd'] / math.sqrt(b['n'])) if a['sd'] else None
+        sb = (a['sd'] / math.sqrt(b['n'])) if a['n'] > 1 else None
         approx = True
     if sa is None or sb is None:
         return None
     se = math.sqrt(sa ** 2 + sb ** 2)
     return dict(delta=b['mean'] - a['mean'], se=se, approx=approx,
-                rel_pct=100.0 * (b['mean'] - a['mean']) / a['mean'])
+                rel_pct=(100.0 * (b['mean'] - a['mean']) / a['mean'])
+                if a['mean'] else None)
 
 
 def fmt(s, scale=1.0, digits=3):
@@ -62,7 +65,8 @@ def fmt(s, scale=1.0, digits=3):
 
 
 def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else '/tmp/h2h/results_r3.jsonl'
+    paths = [a for a in sys.argv[1:] if not a.startswith('-')]
+    path = paths[0] if paths else '/tmp/h2h/results_r3.jsonl'
     groups = defaultdict(list)
     for line in open(path):
         r = json.loads(line)
@@ -124,8 +128,9 @@ def main():
                     continue
                 z = d['delta'] / d['se'] if d['se'] else float('nan')
                 mark = ' (approx SE: single-seed side)' if d.get('approx') else ''
+                rel = f"{d['rel_pct']:+.2f}%" if d['rel_pct'] is not None else 'n/a'
                 print(f"  {label:<18}: {d['delta']:+.{digits}f} ± {d['se']:.{digits}f}"
-                      f"  ({d['rel_pct']:+.2f}%, {z:+.2f} SE){mark}")
+                      f"  ({rel}, {z:+.2f} SE){mark}")
 
         if '--md' in sys.argv:
             print(f"\nmarkdown rows ({mode}):")

@@ -157,10 +157,27 @@ def compute_ralp(net):
             continue
         rows = [[float(t) for t in line.split()]
                 for line in open(path) if line.strip()]
+        # An all-zeros precision row is what the binary writes for a bin with
+        # no ground truth (kitti-eval/evaluate_object.cpp, getGroundTruth
+        # empty-bin path) — record None rather than a fake 0.0 AP so the
+        # summarizer's per-bin means aren't dragged toward zero.
         out[param] = {
-            difficulties[i]: round(100.0 * sum(rows[i][1:41]) / 40.0, 2)
+            difficulties[i]: (round(100.0 * sum(rows[i][1:41]) / 40.0, 2)
+                              if any(rows[i][1:41]) else None)
             for i in range(min(len(rows), 4))}
     return out
+
+
+def safe_ralp(net):
+    """compute_ralp runs AFTER a (possibly multi-hour) training leg; never let
+    a build/filesystem/parse failure there discard the leg's metrics record —
+    emit() must still run."""
+    try:
+        return compute_ralp(net)
+    except Exception:  # noqa: BLE001 — deliberate catch-all, see docstring
+        import traceback
+        traceback.print_exc()
+        return None
 
 
 def run_ref(mode, root):
@@ -209,7 +226,7 @@ def run_ref(mode, root):
         ev.show_statistics = lambda: None
         ev.run()
         emit('reference', mode, seed, extract_metrics(ev, net), wall,
-             ralp=compute_ralp(net))
+             ralp=safe_ralp(net))
 
 
 def run_tpu(mode, root):
@@ -244,7 +261,7 @@ def run_tpu(mode, root):
         ev.dic_thresh_conf[net] = -100
         ev.run()
         emit('monoloco_tpu', mode, seed, extract_metrics(ev, net), wall,
-             ralp=compute_ralp(net))
+             ralp=safe_ralp(net))
 
 
 def _stub_torchvision():
@@ -265,11 +282,18 @@ def _stub_torchvision():
 
 
 def already_done(framework, mode, seed):
+    """A record only counts if it was measured on the SAME dataset config —
+    otherwise changing H2H_NTRAIN/H2H_NVAL/H2H_HARD against an old results
+    file would silently skip every leg and keep stale incompatible records."""
     try:
         with open(RESULTS) as f:
             for line in f:
                 r = json.loads(line)
-                if (r['framework'], r['mode'], r['r_seed']) == (framework, mode, seed):
+                if ((r['framework'], r['mode'], r['r_seed'])
+                        == (framework, mode, seed)
+                        and r.get('n_train') == N_TRAIN
+                        and r.get('n_val') == N_VAL
+                        and r.get('hard') == HARD):
                     return True
     except FileNotFoundError:
         pass
