@@ -33,6 +33,25 @@ def test_dryrun_multichip():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_available_devices_hung_backend_probe_degrades_to_none(monkeypatch):
+    """A dead TPU tunnel makes jax.devices() block forever in PJRT init
+    (observed live): the probe must time out and report the backend
+    unavailable so dryrun_multichip falls back to the virtual CPU re-exec
+    instead of hanging the driver's MULTICHIP check."""
+    import threading
+    import __graft_entry__
+    monkeypatch.setattr(__graft_entry__.jax, 'devices',
+                        lambda: threading.Event().wait())
+    assert __graft_entry__._available_devices(8, timeout_s=0.2) is None
+
+
+def test_available_devices_raising_backend_degrades_to_none(monkeypatch):
+    import __graft_entry__
+    monkeypatch.setattr(__graft_entry__.jax, 'devices',
+                        lambda: (_ for _ in ()).throw(RuntimeError('no backend')))
+    assert __graft_entry__._available_devices(8, timeout_s=5.0) is None
+
+
 def test_dryrun_multichip_self_provisions_virtual_mesh():
     """The driver calls dryrun_multichip with ONE real chip available; the
     function must re-exec itself onto a virtual n-device CPU backend rather
