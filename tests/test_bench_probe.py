@@ -1,0 +1,36 @@
+"""bench.py backend-liveness probe: a dead TPU tunnel makes jax.devices()
+block forever in PJRT init (it does not raise), so the bench must convert a
+hung or failing backend into a prompt explicit exit instead of hanging the
+invoking harness."""
+
+import os
+import sys
+import threading
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench  # noqa: E402
+
+
+def test_probe_hung_backend_exits_nonzero(monkeypatch, capsys):
+    monkeypatch.setattr(bench.jax, 'devices',
+                        lambda: threading.Event().wait())
+    with pytest.raises(SystemExit) as exc:
+        bench._require_live_backend(0.2)
+    assert exc.value.code == 1
+    assert 'blocked' in capsys.readouterr().err
+
+
+def test_probe_raising_backend_exits_nonzero(monkeypatch, capsys):
+    def boom():
+        raise RuntimeError('no backend')
+    monkeypatch.setattr(bench.jax, 'devices', boom)
+    with pytest.raises(SystemExit) as exc:
+        bench._require_live_backend(5.0)
+    assert exc.value.code == 1
+    assert 'failed' in capsys.readouterr().err
+
+
+def test_probe_live_backend_passes():
+    bench._require_live_backend(60.0)  # conftest forces the CPU backend
