@@ -20,7 +20,6 @@ throughput numbers).
 import json
 import os
 import statistics
-import sys
 import time
 
 import numpy as np
@@ -30,42 +29,23 @@ import jax.numpy as jnp
 BATCH = 131072
 SCAN_ITERS = 16
 TARGET = 50_000.0
-# Backend-liveness probe budget. jax.devices() blocks forever in PJRT init
-# when the remote TPU tunnel is down (it does not raise), so a dead tunnel
-# would otherwise hang the bench — and whatever harness invoked it —
-# indefinitely. 300 s comfortably covers the observed cold-init tail
-# (~20-40 s, variable) while still converting "tunnel dead" into a prompt,
-# explicit failure.
-PROBE_TIMEOUT_S = float(os.environ.get('MONOLOCO_TPU_BENCH_PROBE_S', '300'))
+# Backend-liveness probe budget: a dead TPU tunnel makes jax.devices() block
+# forever in PJRT init, which would hang the bench and whatever harness
+# invoked it. MONOLOCO_TPU_BENCH_PROBE_S is kept for compatibility; it falls
+# through to the shared MONOLOCO_TPU_BACKEND_PROBE_S default (300 s).
+PROBE_TIMEOUT_S = os.environ.get('MONOLOCO_TPU_BENCH_PROBE_S')
 
 
 def _require_live_backend(timeout_s):
-    import threading
-    result = []
-
-    def _probe():
-        try:
-            result.append(jax.devices())
-        except Exception as exc:
-            result.append(exc)
-
-    probe = threading.Thread(target=_probe, daemon=True)
-    probe.start()
-    probe.join(timeout_s)
-    if probe.is_alive():
-        print(f"bench: backend init still blocked after {timeout_s:.0f}s — "
-              "TPU tunnel down? Refusing to hang; exiting.", file=sys.stderr)
-        sys.exit(1)
-    if result and isinstance(result[0], Exception):
-        print(f"bench: backend init failed: {result[0]!r}", file=sys.stderr)
-        sys.exit(1)
+    from monoloco_tpu.utils.backend import require_live_backend
+    require_live_backend(timeout_s, context='bench')
 # 'bf16' (default, reported metric), 'f32', or 'int8' (opt-in quantized path,
 # ~0.8% mean decoded-distance deviation — see monoloco_tpu/ops/quant.py).
 PRECISION = os.environ.get('MONOLOCO_TPU_PRECISION', 'bf16')
 
 
 def main():
-    _require_live_backend(PROBE_TIMEOUT_S)
+    _require_live_backend(float(PROBE_TIMEOUT_S) if PROBE_TIMEOUT_S else None)
     from monoloco_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     from monoloco_tpu.models import init_loco_params, fold_eval_params, folded_forward

@@ -219,6 +219,12 @@ def main():
     args = cli()
     from .utils import enable_compilation_cache
     enable_compilation_cache()
+    if args.command != 'prep':
+        # prep is pure host-side numpy; everything else touches the device.
+        # Convert a dead remote-TPU tunnel into a prompt error instead of an
+        # indefinite hang at the first device-array creation.
+        from .utils.backend import require_live_backend
+        require_live_backend(context=f'{args.command} command')
     if args.command == 'predict':
         if args.webcam:
             from .visuals.webcam import webcam

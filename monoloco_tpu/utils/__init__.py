@@ -19,6 +19,7 @@ from .kitti import (
 )
 from .logs import set_logger
 from .compile_cache import enable_compilation_cache
+from .backend import probe_devices, require_live_backend
 from .nuscenes import select_categories
 
 # Geometry lives in monoloco_tpu.geometry (the jit/device layer); re-export it
