@@ -219,10 +219,18 @@ def main():
     args = cli()
     from .utils import enable_compilation_cache
     enable_compilation_cache()
-    if args.command != 'prep':
-        # prep is pure host-side numpy; everything else touches the device.
-        # Convert a dead remote-TPU tunnel into a prompt error instead of an
-        # indefinite hang at the first device-array creation.
+    # Convert a dead remote-TPU tunnel into a prompt error instead of an
+    # indefinite hang at the first device-array creation — but only for the
+    # paths that actually create device arrays. prep, the geometric/variance
+    # baselines, and plain EvalKitti txt scoring are pure host numpy and must
+    # keep working without a backend.
+    needs_device = (
+        args.command in ('predict', 'train')
+        or (args.command == 'eval'
+            and not args.geometric and not args.variance
+            and (args.generate or args.activity
+                 or 'nuscenes' in args.dataset)))
+    if needs_device:
         from .utils.backend import require_live_backend
         require_live_backend(context=f'{args.command} command')
     if args.command == 'predict':
