@@ -215,22 +215,24 @@ def _build_mesh(args):
                  else make_mesh(devices[:dp]))
 
 
+def _needs_device(args):
+    """Whether this invocation will create device arrays — the paths that do
+    get a time-boxed backend-liveness probe so a dead remote-TPU tunnel is a
+    prompt error, not an indefinite hang. prep, the geometric/variance
+    baselines, and plain EvalKitti txt scoring are pure host numpy and must
+    keep working without a backend."""
+    return (args.command in ('predict', 'train')
+            or (args.command == 'eval'
+                and not args.geometric and not args.variance
+                and bool(args.generate or args.activity
+                         or 'nuscenes' in args.dataset)))
+
+
 def main():
     args = cli()
     from .utils import enable_compilation_cache
     enable_compilation_cache()
-    # Convert a dead remote-TPU tunnel into a prompt error instead of an
-    # indefinite hang at the first device-array creation — but only for the
-    # paths that actually create device arrays. prep, the geometric/variance
-    # baselines, and plain EvalKitti txt scoring are pure host numpy and must
-    # keep working without a backend.
-    needs_device = (
-        args.command in ('predict', 'train')
-        or (args.command == 'eval'
-            and not args.geometric and not args.variance
-            and (args.generate or args.activity
-                 or 'nuscenes' in args.dataset)))
-    if needs_device:
+    if _needs_device(args):
         from .utils.backend import require_live_backend
         require_live_backend(context=f'{args.command} command')
     if args.command == 'predict':

@@ -34,3 +34,26 @@ def test_probe_raising_backend_exits_nonzero(monkeypatch, capsys):
 
 def test_probe_live_backend_passes():
     bench._require_live_backend(60.0)  # conftest forces the CPU backend
+
+
+def test_cli_needs_device_gating():
+    """Device-touching commands get the liveness probe; host-only numpy paths
+    (prep, geometric/variance baselines, plain EvalKitti scoring) must not."""
+    from argparse import Namespace
+    from monoloco_tpu.run import _needs_device
+
+    def ev(**kw):
+        base = dict(command='eval', geometric=False, variance=False,
+                    generate=False, activity=False, dataset='kitti')
+        base.update(kw)
+        return Namespace(**base)
+
+    assert _needs_device(Namespace(command='predict'))
+    assert _needs_device(Namespace(command='train'))
+    assert not _needs_device(Namespace(command='prep'))
+    assert not _needs_device(ev())                        # plain txt scoring
+    assert not _needs_device(ev(geometric=True))
+    assert not _needs_device(ev(variance=True))
+    assert _needs_device(ev(generate=True))
+    assert _needs_device(ev(activity=True))
+    assert _needs_device(ev(dataset='nuscenes'))
