@@ -267,10 +267,13 @@ def test_eval_stats_matches_host_numpy(tmp_path):
     from monoloco_tpu.train.trainer import Trainer
     from monoloco_tpu.train.losses import composite_losses
 
+    # out under tmp_path keeps the test hermetic: out=None makes Trainer
+    # require a cwd-relative data/outputs dir (reference trainer.py:72-78).
     t = Trainer(argparse.Namespace(
-        joints=JOINTS, mode='mono', out=None, epochs=1, bs=128, dropout=0.2,
-        lr=0.002, sched_step=5, sched_gamma=0.9, hidden_size=64, n_stage=2,
-        r_seed=0, auto_tune_mtl=False, no_save=True, print_loss=False))
+        joints=JOINTS, mode='mono', out=str(tmp_path / 'm.pkl'), epochs=1,
+        bs=128, dropout=0.2, lr=0.002, sched_step=5, sched_gamma=0.9,
+        hidden_size=64, n_stage=2, r_seed=0, auto_tune_mtl=False,
+        no_save=True, print_loss=False))
     rng = np.random.RandomState(0)
     n1, n2 = 13, 7
     x = np.asarray(rng.randn(n1 + n2, 34), np.float32)
@@ -346,9 +349,10 @@ def test_evaluate_debug_stats(tmp_path, capsys):
     from monoloco_tpu.train import Trainer
     args = argparse.Namespace(
         joints=os.path.join(REPO, 'tests', 'fixture_joints-kitti-mono.json'),
-        mode='mono', out=None, epochs=1, bs=512, dropout=0.2, lr=0.002,
-        sched_step=30, sched_gamma=0.98, hidden_size=32, n_stage=2, r_seed=1,
-        auto_tune_mtl=False, no_save=True, print_loss=False)
+        mode='mono', out=str(tmp_path / 'm.pkl'), epochs=1, bs=512,
+        dropout=0.2, lr=0.002, sched_step=30, sched_gamma=0.98,
+        hidden_size=32, n_stage=2, r_seed=1, auto_tune_mtl=False,
+        no_save=True, print_loss=False)
     t = Trainer(args)
     t.train()
     t.evaluate(debug=True)
