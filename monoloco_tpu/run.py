@@ -219,13 +219,22 @@ def _needs_device(args):
     """Whether this invocation will create device arrays — the paths that do
     get a time-boxed backend-liveness probe so a dead remote-TPU tunnel is a
     prompt error, not an indefinite hang. prep, the geometric/variance
-    baselines, and plain EvalKitti txt scoring are pure host numpy and must
-    keep working without a backend."""
-    return (args.command in ('predict', 'train')
-            or (args.command == 'eval'
-                and not args.geometric and not args.variance
-                and bool(args.generate or args.activity
-                         or 'nuscenes' in args.dataset)))
+    baselines, `predict --mode keypoints` (pifpaf-only, no Loco), and plain
+    EvalKitti txt scoring are pure host numpy and must keep working without a
+    backend. Mirrors main()'s dispatch order exactly: eval checks --activity
+    FIRST (ActivityEvaluator always builds a Loco), before the
+    geometric/variance host-only short-circuits."""
+    if args.command == 'train':
+        return True
+    if args.command == 'predict':
+        return bool(args.webcam) or args.mode != 'keypoints'
+    if args.command == 'eval':
+        if args.activity:
+            return True
+        if args.geometric or args.variance:
+            return False
+        return bool(args.generate or 'nuscenes' in args.dataset)
+    return False
 
 
 def main():

@@ -16,6 +16,7 @@ from .kitti import (
     factory_basename,
     read_and_rewrite,
     find_cluster,
+    strip_to_devkit_columns,
 )
 from .logs import set_logger
 from .compile_cache import enable_compilation_cache

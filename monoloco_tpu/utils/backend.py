@@ -18,13 +18,23 @@ import sys
 import threading
 
 
-def probe_devices(timeout_s=90.0):
+def probe_timeout_s():
+    """The configured probe timeout: MONOLOCO_TPU_BACKEND_PROBE_S env var
+    (seconds, default 300 — comfortably beyond the observed cold-init tail of
+    ~20-40 s). 0 disables the time-box (block until init returns)."""
+    return float(os.environ.get('MONOLOCO_TPU_BACKEND_PROBE_S', '300'))
+
+
+def probe_devices(timeout_s=None):
     """Return ``jax.devices()``, or None if backend init hangs past
-    ``timeout_s`` or raises.
+    ``timeout_s`` (default: :func:`probe_timeout_s`; 0 = wait forever) or
+    raises.
 
     A hung probe prints a one-line diagnosis to stderr; an exception is
     swallowed (both mean "unavailable" to the caller).
     """
+    if timeout_s is None:
+        timeout_s = probe_timeout_s()
     import jax
     result = []
 
@@ -36,7 +46,7 @@ def probe_devices(timeout_s=90.0):
 
     probe = threading.Thread(target=_probe, daemon=True)
     probe.start()
-    probe.join(timeout_s)
+    probe.join(timeout_s if timeout_s else None)
     if probe.is_alive():
         print(f"backend probe still blocked after {timeout_s:.0f}s "
               "(tunnel down?) — treating the backend as unavailable",
@@ -51,13 +61,12 @@ def probe_devices(timeout_s=90.0):
 def require_live_backend(timeout_s=None, context=''):
     """Exit(1) with a clear message unless the backend answers in time.
 
-    ``timeout_s`` defaults to the MONOLOCO_TPU_BACKEND_PROBE_S env var
-    (seconds, default 300 — comfortably beyond the observed cold-init tail of
-    ~20-40 s); 0 disables the probe entirely (callers that know their backend
-    is local, or want the legacy block-forever behavior).
+    ``timeout_s`` defaults to :func:`probe_timeout_s` (env-tunable); 0
+    disables the probe entirely (callers that know their backend is local, or
+    want the legacy block-forever behavior).
     """
     if timeout_s is None:
-        timeout_s = float(os.environ.get('MONOLOCO_TPU_BACKEND_PROBE_S', '300'))
+        timeout_s = probe_timeout_s()
     if not timeout_s:
         return
     if probe_devices(timeout_s) is None:

@@ -109,6 +109,21 @@ def read_and_rewrite(path_orig, path_new):
             pass
 
 
+def strip_to_devkit_columns(path_src, path_dst):
+    """Copy a KITTI detection txt keeping only the devkit's 16 columns.
+
+    The C++ benchmark fscanf's exactly 16 fields per row
+    (kitti-eval/evaluate_object.cpp:141-148), so monoloco's trailing bi/epi
+    columns would desync the parse after the first detection. Writes an empty
+    file if the source is missing or empty."""
+    rows = []
+    if os.path.exists(path_src):
+        with open(path_src) as f:
+            rows = [' '.join(line.split()[:16]) for line in f if line.split()]
+    with open(path_dst, 'w') as f:
+        f.write('\n'.join(rows) + ('\n' if rows else ''))
+
+
 def find_cluster(dd, clusters):
     """Distance-bin lookup over increasing integer cluster edges."""
     for idx, clst in enumerate(clusters[:-1]):

@@ -48,7 +48,17 @@ def test_cli_needs_device_gating():
         base.update(kw)
         return Namespace(**base)
 
-    assert _needs_device(Namespace(command='predict'))
+    def pred(**kw):
+        base = dict(command='predict', webcam=False, mode='mono')
+        base.update(kw)
+        return Namespace(**base)
+
+    assert _needs_device(pred())
+    assert _needs_device(pred(mode='stereo'))
+    assert _needs_device(pred(mode='keypoints', webcam=True))  # webcam builds Loco
+    # pifpaf-only path: no Loco, no device arrays (predict.py:167) — a dead
+    # tunnel must not break it.
+    assert not _needs_device(pred(mode='keypoints'))
     assert _needs_device(Namespace(command='train'))
     assert not _needs_device(Namespace(command='prep'))
     assert not _needs_device(ev())                        # plain txt scoring
@@ -57,3 +67,27 @@ def test_cli_needs_device_gating():
     assert _needs_device(ev(generate=True))
     assert _needs_device(ev(activity=True))
     assert _needs_device(ev(dataset='nuscenes'))
+    # Dispatch checks --activity FIRST (ActivityEvaluator always builds a
+    # Loco), so activity+geometric/variance still needs the probe.
+    assert _needs_device(ev(activity=True, geometric=True))
+    assert _needs_device(ev(activity=True, variance=True))
+
+
+def test_probe_timeout_env_knob(monkeypatch):
+    """MONOLOCO_TPU_BACKEND_PROBE_S tunes every probe default — including
+    __graft_entry__._available_devices (it previously hardcoded 90 s, so a
+    live-but-slow backend was spuriously declared dead with no way to tune)."""
+    from monoloco_tpu.utils import backend
+
+    monkeypatch.delenv('MONOLOCO_TPU_BACKEND_PROBE_S', raising=False)
+    assert backend.probe_timeout_s() == 300.0
+    monkeypatch.setenv('MONOLOCO_TPU_BACKEND_PROBE_S', '0.2')
+    assert backend.probe_timeout_s() == 0.2
+    # A hung backend + env-resolved default timeout -> None promptly.
+    import jax
+    real = jax.devices
+    try:
+        jax.devices = lambda: threading.Event().wait()
+        assert backend.probe_devices() is None
+    finally:
+        jax.devices = real

@@ -158,3 +158,40 @@ def test_head_to_head_safe_ralp_never_raises(monkeypatch):
     monkeypatch.setattr(h2h, 'compute_ralp',
                         lambda net: (_ for _ in ()).throw(OSError('boom')))
     assert h2h.safe_ralp('monoloco_pp') is None
+
+
+def test_gt_bin_counts_mirrors_clean_data(tmp_path):
+    """Bin assignment must match kitti-eval/evaluate_object.cpp clean_data:
+    cat = easiest bin passed (occ/trunc/height), bin counts are exclusive,
+    ALL counts every pedestrian; non-pedestrians and missing files ignored."""
+    import head_to_head as h2h
+    gt = tmp_path / 'gt'
+    gt.mkdir()
+    # height = y2 - y1; columns: type trunc occ alpha x1 y1 x2 y2 ...
+    rows = [
+        'Pedestrian 0.0 0 0 100 100 140 180 1.7 0.6 0.8 1 1 10 0',   # h=80 easy
+        'Pedestrian 0.2 1 0 100 100 130 135 1.7 0.6 0.8 1 1 20 0',   # h=35 moderate
+        'Pedestrian 0.4 2 0 100 100 120 128 1.7 0.6 0.8 1 1 30 0',   # h=28 hard
+        'Pedestrian 0.9 2 0 100 100 110 115 1.7 0.6 0.8 1 1 60 0',   # trunc>0.5: all-only
+        'Car 0.0 0 0 100 100 200 200 1.5 1.6 3.9 1 1 10 0',          # other class
+    ]
+    (gt / '000001.txt').write_text('\n'.join(rows) + '\n')
+    counts = h2h.gt_bin_counts(['000001', '000002'], str(gt))  # 000002 missing
+    assert counts == [1, 1, 1, 4]
+
+
+def test_summarizer_all_sentinel_ale_prints_na(tmp_path):
+    """Every ALE value the evaluator's -1.0 empty-cluster sentinel: the
+    summarizer must print n/a rows, not crash on a None stats group."""
+    rec = {'framework': 'monoloco_tpu', 'mode': 'mono', 'r_seed': 1,
+           'n_train': 4, 'n_val': 4, 'hard': False, 'train_wall_s': 1.0,
+           'ale': {'easy': -1.0, 'moderate': -1.0, 'hard': -1.0, 'all': -1.0},
+           'alp': {'<0.5m': -1.0, '<1m': -1.0, '<2m': -1.0},
+           'matched': 0, 'ralp': None}
+    path = tmp_path / 'results.jsonl'
+    path.write_text(json.dumps(rec) + '\n')
+    tool = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                        'h2h_summarize.py')
+    out = subprocess.run([sys.executable, tool, '--md', str(path)],
+                         capture_output=True, text=True, check=True).stdout
+    assert 'n/a' in out

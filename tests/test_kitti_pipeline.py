@@ -296,16 +296,12 @@ class TestTrainGenerateEval:
         if not os.path.exists('data/object/label_2'):
             os.symlink(os.path.abspath('data/kitti/gt'), 'data/object/label_2')
         os.makedirs('results/synth/data', exist_ok=True)
-        # Stage stripped to the devkit's 16 columns: the binary fscanf's
-        # exactly 16 fields per row (evaluate_object.cpp:141-148), so the
-        # trailing bi/epi monoloco columns would desync the parse after the
-        # first detection.
+        # Stage stripped to the devkit's 16 columns (shared helper — the
+        # binary fscanf's exactly 16 fields per row).
+        from monoloco_tpu.utils import strip_to_devkit_columns
         for txt in glob.glob('data/kitti/monoloco_pp/*.txt'):
-            rows = [' '.join(line.split()[:16]) for line in open(txt)
-                    if line.split()]
-            with open(os.path.join('results/synth/data',
-                                   os.path.basename(txt)), 'w') as f:
-                f.write('\n'.join(rows) + ('\n' if rows else ''))
+            strip_to_devkit_columns(
+                txt, os.path.join('results/synth/data', os.path.basename(txt)))
         with open('splits/kitti_val.txt') as f:
             names = [l.strip() for l in f if l.strip()]
         with open('lists/val.txt', 'w') as f:

@@ -28,7 +28,22 @@ def test_shard_batch_places_on_mesh():
     assert sharded.sharding == data_sharding(mesh, ndim=2)
 
 
-def test_dryrun_multichip():
+def test_dryrun_multichip(monkeypatch):
+    # Toy shapes: identical mesh/sharding/collective wiring to the flagship
+    # config at a fraction of the wall time; the flagship size runs in the
+    # slow suite (test_dryrun_multichip_flagship) and in the driver's own
+    # MULTICHIP check.
+    monkeypatch.setenv('MONOLOCO_DRYRUN_TOY', '1')
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_flagship(monkeypatch):
+    """Production size (hidden 1024, 3 stages, bs 512/replica) on the virtual
+    mesh — proves the flagship config shards within memory/layout constraints,
+    not just the wiring."""
+    monkeypatch.delenv('MONOLOCO_DRYRUN_TOY', raising=False)
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
 
@@ -66,6 +81,7 @@ def test_dryrun_multichip_self_provisions_virtual_mesh():
     env['JAX_PLATFORMS'] = 'cpu'
     env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=1'
     env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
+    env['MONOLOCO_DRYRUN_TOY'] = '1'   # wiring under test, not flagship shapes
     env.pop('_MONOLOCO_DRYRUN_CHILD', None)
     snippet = (
         "import jax\n"
@@ -159,7 +175,8 @@ class TestTensorParallel:
         v_tp = run(make_mesh_2d(4, 2))
         np.testing.assert_allclose(v_single, v_tp, rtol=2e-3, atol=1e-3)
 
-    def test_dryrun_uses_2d_mesh_for_even_counts(self, capsys):
+    def test_dryrun_uses_2d_mesh_for_even_counts(self, capsys, monkeypatch):
+        monkeypatch.setenv('MONOLOCO_DRYRUN_TOY', '1')
         import __graft_entry__
         __graft_entry__.dryrun_multichip(4)
         assert 'dp2xtp2' in capsys.readouterr().out

@@ -89,15 +89,16 @@ def main():
             g['wall'] = stats([r['train_wall_s'] for r in recs])
             for param in ('detection', 'detection_5%', 'detection_10%'):
                 g[f'ralp_{param}'] = stats(
-                    [r.get('ralp', {}).get(param, {}).get('all') for r in recs])
+                    [(r.get('ralp') or {}).get(param, {}).get('all') for r in recs])
                 g[f'ralp_{param}_mod'] = stats(
-                    [r.get('ralp', {}).get(param, {}).get('moderate') for r in recs])
+                    [(r.get('ralp') or {}).get(param, {}).get('moderate') for r in recs])
             gstats[fw] = g
             n = g['ale_all']['n'] if g['ale_all'] else 0
             print(f"\n{fw} ({n} seeds; n_train={recs[0]['n_train']}, "
                   f"n_val={recs[0]['n_val']}, hard={recs[0]['hard']})")
-            print(f"  ALE all     : {fmt(g['ale_all'])} m "
-                  f"[{g['ale_all']['lo']:.3f}-{g['ale_all']['hi']:.3f}]")
+            rng = (f" [{g['ale_all']['lo']:.3f}-{g['ale_all']['hi']:.3f}]"
+                   if g['ale_all'] else '')
+            print(f"  ALE all     : {fmt(g['ale_all'])} m{rng}")
             for d in ('easy', 'moderate', 'hard'):
                 print(f"  ALE {d:<8}: {fmt(g[f'ale_{d}'])} m")
             print(f"  ALP <0.5m   : {fmt(g['alp05'], digits=2)} %   "
@@ -142,9 +143,11 @@ def main():
                 def m(key, digits=3, scale=1.0):
                     s = g.get(key)
                     return 'n/a' if s is None else f"{s['mean'] * scale:.{digits}f}"
-                sd = g['ale_all']['sd']
-                ale = f"{m('ale_all')} ± {sd:.3f}" if g['ale_all']['n'] > 1 else m('ale_all')
-                print(f"| {mode} | {tag} | {g['ale_all']['n']} | {ale} | "
+                s_all = g['ale_all'] or {'n': 0, 'sd': None}
+                ale = (f"{m('ale_all')} ± {s_all['sd']:.3f}"
+                       if s_all['n'] > 1 and s_all['sd'] is not None
+                       else m('ale_all'))
+                print(f"| {mode} | {tag} | {s_all['n']} | {ale} | "
                       f"{m('ale_easy')} / {m('ale_moderate')} / {m('ale_hard')} | "
                       f"{m('alp05', 2)}% | {m('matched', 0)} every leg | "
                       f"{m('ralp_detection', 2)} / {m('ralp_detection_5%', 2)} / "

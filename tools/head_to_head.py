@@ -110,6 +110,32 @@ def _eval_binary():
     return binary
 
 
+def gt_bin_counts(val_names, gt_dir):
+    """Pedestrian gt count per difficulty bin [easy, moderate, hard, all],
+    mirroring the evaluator's clean_data exactly
+    (kitti-eval/evaluate_object.cpp:311-323): cat = the easiest bin whose
+    occlusion/truncation/height thresholds the gt meets; bin d counts gts
+    with cat == d; ALL counts every pedestrian."""
+    min_h, max_occ, max_tr = (40, 25, 25), (0, 1, 2), (0.15, 0.3, 0.5)
+    counts = [0, 0, 0, 0]
+    for name in val_names:
+        gt_path = os.path.join(gt_dir, name + '.txt')
+        if not os.path.exists(gt_path):
+            continue
+        for line in open(gt_path):
+            t = line.split()
+            if not t or t[0].lower() != 'pedestrian':
+                continue
+            trunc, occ = float(t[1]), int(float(t[2]))
+            height = float(t[7]) - float(t[5])
+            counts[3] += 1
+            for d in range(3):
+                if occ <= max_occ[d] and trunc <= max_tr[d] and height > min_h[d]:
+                    counts[d] += 1
+                    break
+    return counts
+
+
 def compute_ralp(net):
     """Run kitti-eval on the just-generated data/kitti/<net>/ txts (cwd is the
     leg root). Returns {param: {difficulty: AP%}} for detection and
@@ -130,17 +156,14 @@ def compute_ralp(net):
         f.write('\n'.join(val_names) + '\n')
     os.symlink(os.path.abspath(os.path.join('data', 'kitti', 'gt')),
                os.path.join(work, 'data', 'object', 'label_2'))
+    # Strip to the devkit's 16 columns (the binary fscanf's exactly 16
+    # fields; trailing bi/epi columns would desync the parse).
+    sys.path.insert(0, REPO)
+    from monoloco_tpu.utils import strip_to_devkit_columns
     for name in val_names:
-        src = os.path.join('data', 'kitti', net, name + '.txt')
-        dst = os.path.join(work, 'results', net, 'data', name + '.txt')
-        rows = []
-        if os.path.exists(src):
-            for line in open(src):
-                tokens = line.split()
-                if tokens:
-                    rows.append(' '.join(tokens[:16]))
-        with open(dst, 'w') as f:
-            f.write('\n'.join(rows) + ('\n' if rows else ''))
+        strip_to_devkit_columns(
+            os.path.join('data', 'kitti', net, name + '.txt'),
+            os.path.join(work, 'results', net, 'data', name + '.txt'))
 
     proc = subprocess.run([_eval_binary(), net, 'val', '1'], cwd=work,
                           capture_output=True, text=True)
@@ -148,6 +171,11 @@ def compute_ralp(net):
         print(f'RALP eval failed rc={proc.returncode}\n{proc.stdout[-1500:]}'
               f'\n{proc.stderr[-1500:]}', flush=True)
         return None
+    # A bin with zero gt gets AP None (undefined) — but a bin WITH gt and an
+    # all-zeros precision row is a genuine 0.0 AP and must be averaged, not
+    # dropped (a weak seed matching nothing is data, not a sentinel).
+    gt_counts = gt_bin_counts(val_names, os.path.join('data', 'kitti', 'gt'))
+
     out = {}
     difficulties = ('easy', 'moderate', 'hard', 'all')
     for param in ('detection', 'detection_5%', 'detection_10%'):
@@ -157,13 +185,9 @@ def compute_ralp(net):
             continue
         rows = [[float(t) for t in line.split()]
                 for line in open(path) if line.strip()]
-        # An all-zeros precision row is what the binary writes for a bin with
-        # no ground truth (kitti-eval/evaluate_object.cpp, getGroundTruth
-        # empty-bin path) — record None rather than a fake 0.0 AP so the
-        # summarizer's per-bin means aren't dragged toward zero.
         out[param] = {
             difficulties[i]: (round(100.0 * sum(rows[i][1:41]) / 40.0, 2)
-                              if any(rows[i][1:41]) else None)
+                              if gt_counts[i] else None)
             for i in range(min(len(rows), 4))}
     return out
 
