@@ -195,3 +195,22 @@ def test_summarizer_all_sentinel_ale_prints_na(tmp_path):
     out = subprocess.run([sys.executable, tool, '--md', str(path)],
                          capture_output=True, text=True, check=True).stdout
     assert 'n/a' in out
+
+
+def test_summarizer_refuses_mixed_dataset_configs(tmp_path):
+    """A stray differently-scaled leg must abort the summary, not silently
+    bias every pooled mean."""
+    base = {'framework': 'monoloco_tpu', 'mode': 'stereo', 'train_wall_s': 1.0,
+            'ale': {'easy': 1.0, 'moderate': 1.0, 'hard': 1.0, 'all': 1.0},
+            'alp': {'<0.5m': 50.0, '<1m': 60.0, '<2m': 70.0},
+            'matched': 10, 'ralp': None, 'hard': True}
+    recs = [dict(base, r_seed=1, n_train=928, n_val=942),
+            dict(base, r_seed=2, n_train=2400, n_val=2400)]
+    path = tmp_path / 'results.jsonl'
+    path.write_text('\n'.join(json.dumps(r) for r in recs) + '\n')
+    tool = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                        'h2h_summarize.py')
+    proc = subprocess.run([sys.executable, tool, str(path)],
+                          capture_output=True, text=True)
+    assert proc.returncode != 0
+    assert 'mixed dataset configs' in proc.stderr + proc.stdout

@@ -79,6 +79,15 @@ def main():
             recs = groups.get((mode, fw), [])
             if not recs:
                 continue
+            # Per-seed records are only poolable if they were measured on the
+            # SAME dataset (n_train, n_val, hard) — refuse to average across
+            # configs silently (a stray differently-scaled leg would bias
+            # every mean in the parity table).
+            configs = {(r['n_train'], r['n_val'], r['hard']) for r in recs}
+            if len(configs) > 1:
+                raise SystemExit(
+                    f"mixed dataset configs in ({mode}, {fw}): {sorted(configs)}"
+                    " — filter the results file to one config before summarizing")
             g = {}
             g['ale_all'] = stats([r['ale']['all'] for r in recs])
             for d in ('easy', 'moderate', 'hard'):
