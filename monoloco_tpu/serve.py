@@ -1,0 +1,281 @@
+"""TPU-native serving endpoint: micro-batching HTTP server over the engine.
+
+No reference counterpart (the reference serves one-off CLI predictions,
+reference predict.py:130-187); this is the production surface the TPU design
+enables. Concurrent requests are coalesced into ONE device program dispatch:
+the first request opens a short batching window (default 2 ms) and everything
+arriving inside it joins the same `Loco.forward_batch_async` call — images pad
+to shared detection buckets, so the steady state reuses one compiled program
+per (batch-bucket, m-bucket) and the MXU sees a real batch instead of
+per-request row vectors.
+
+    request threads --(queue)--> collator thread --forward_batch_async--> TPU
+          ^                                                  |
+          +------------------ per-request Event <- finalize -+
+
+stdlib-only (ThreadingHTTPServer + queue); zero new dependencies.
+
+Endpoints:
+  POST /v1/predict   {"keypoints": [[m,3,17]], "kk": [[3,3]],
+                      "keypoints_r": optional, "boxes": optional}
+                     -> forward outputs (+ post_process outputs when boxes
+                     are supplied), JSON lists.
+  GET  /healthz      backend + model info.
+  GET  /metrics      request/batch counters and latency percentiles.
+
+Usage: python -m monoloco_tpu.serve --model <ckpt> [--mode mono] [--port 8080]
+"""
+
+import argparse
+import json
+import queue
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _to_jsonable(dic_out):
+    """Serialize a forward()/post_process() output dict to JSON-safe types."""
+    out = {}
+    for k, v in dic_out.items():
+        if k == 'yaw':
+            out['yaw'] = [np.asarray(v[0]).tolist(), np.asarray(v[1]).tolist()]
+        elif isinstance(v, np.ndarray):
+            out[k] = v.tolist()
+        elif isinstance(v, (list, tuple)):
+            out[k] = [x.tolist() if isinstance(x, np.ndarray) else x for x in v]
+        else:
+            out[k] = v
+    return out
+
+
+class _Request:
+    __slots__ = ('keypoints', 'kk', 'keypoints_r', 'event', 'result', 'error',
+                 't_enqueue')
+
+    def __init__(self, keypoints, kk, keypoints_r):
+        self.keypoints = keypoints
+        self.kk = kk
+        self.keypoints_r = keypoints_r
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+        self.t_enqueue = time.perf_counter()
+
+
+class Batcher:
+    """Coalesce concurrent requests into single forward_batch dispatches."""
+
+    def __init__(self, net, window_ms=2.0, max_batch=64):
+        self.net = net
+        self.window_s = window_ms / 1e3
+        self.max_batch = max_batch
+        self._queue = queue.Queue()
+        self._stop = threading.Event()
+        # metrics
+        self.n_requests = 0
+        self.n_batches = 0
+        self.batch_sizes = deque(maxlen=1000)
+        self.latencies_s = deque(maxlen=1000)
+        self._thread = threading.Thread(target=self._collate, daemon=True)
+        self._thread.start()
+
+    def submit(self, keypoints, kk, keypoints_r=None):
+        req = _Request(keypoints, kk, keypoints_r)
+        self._queue.put(req)
+        return req
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _collate(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._dispatch(batch)
+
+    def _dispatch(self, batch):
+        kps = [b.keypoints for b in batch]
+        kks = [b.kk for b in batch]
+        stereo = self.net.net == 'monstereo'
+        kps_r = [b.keypoints_r for b in batch] if stereo else None
+        try:
+            finalize = self.net.forward_batch_async(kps, kks, kps_r)
+            outs = finalize()
+        except Exception as exc:  # noqa: BLE001 — surfaced per-request as 500
+            for b in batch:
+                b.error = repr(exc)
+                b.event.set()
+            return
+        now = time.perf_counter()
+        self.n_batches += 1
+        self.n_requests += len(batch)
+        self.batch_sizes.append(len(batch))
+        for b, o in zip(batch, outs):
+            b.result = o
+            self.latencies_s.append(now - b.t_enqueue)
+            b.event.set()
+
+
+def _percentile(xs, p):
+    xs = sorted(xs)
+    return xs[min(len(xs) - 1, int(round(p / 100.0 * (len(xs) - 1))))]
+
+
+def make_handler(batcher, net, timeout_s=60.0):
+    class Handler(BaseHTTPRequestHandler):
+        # Silence default per-request stderr logging (metrics carry counts).
+        def log_message(self, fmt, *args):  # noqa: ARG002
+            pass
+
+        def _reply(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            if self.path == '/healthz':
+                self._reply(200, {
+                    'status': 'ok', 'net': net.net, 'mode': net.mode,
+                    'hidden': net.linear_size, 'n_stage': net.n_stage})
+            elif self.path == '/metrics':
+                lat = list(batcher.latencies_s)
+                self._reply(200, {
+                    'requests': batcher.n_requests,
+                    'batches': batcher.n_batches,
+                    'mean_batch': (sum(batcher.batch_sizes)
+                                   / max(1, len(batcher.batch_sizes))),
+                    'max_batch': max(batcher.batch_sizes, default=0),
+                    'latency_ms': None if not lat else {
+                        'p50': round(_percentile(lat, 50) * 1e3, 3),
+                        'p90': round(_percentile(lat, 90) * 1e3, 3),
+                        'p99': round(_percentile(lat, 99) * 1e3, 3)}})
+            else:
+                self._reply(404, {'error': 'unknown path'})
+
+        def do_POST(self):  # noqa: N802 — http.server API
+            if self.path != '/v1/predict':
+                self._reply(404, {'error': 'unknown path'})
+                return
+            try:
+                length = int(self.headers.get('Content-Length', 0))
+                req = json.loads(self.rfile.read(length))
+                kps = np.asarray(req['keypoints'], np.float32)
+                kk = np.asarray(req['kk'], np.float32)
+                if kps.ndim != 3 or kps.shape[1:] != (3, 17):
+                    raise ValueError(f'keypoints must be (m, 3, 17), '
+                                     f'got {kps.shape}')
+                if kk.shape != (3, 3):
+                    raise ValueError(f'kk must be (3, 3), got {kk.shape}')
+                kps_r = req.get('keypoints_r')
+                if kps_r is not None:
+                    kps_r = np.asarray(kps_r, np.float32)
+            except (ValueError, KeyError, json.JSONDecodeError) as exc:
+                self._reply(400, {'error': str(exc)})
+                return
+
+            r = batcher.submit(kps, kk, kps_r)
+            if not r.event.wait(timeout_s):
+                self._reply(504, {'error': 'inference timed out'})
+                return
+            if r.error is not None:
+                self._reply(500, {'error': r.error})
+                return
+            payload = {'outputs': _to_jsonable(r.result)}
+            boxes = req.get('boxes')
+            if boxes is not None:
+                dic_out = net.post_process(r.result, boxes, kps.tolist(), kk)
+                payload['post_process'] = _to_jsonable(dic_out)
+            self._reply(200, payload)
+
+    return Handler
+
+
+class Server:
+    """Composable server object (tests construct it with an in-memory net)."""
+
+    def __init__(self, net, host='127.0.0.1', port=8080, window_ms=2.0,
+                 max_batch=64):
+        self.net = net
+        self.batcher = Batcher(net, window_ms=window_ms, max_batch=max_batch)
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(self.batcher, net))
+
+    @property
+    def port(self):
+        return self.httpd.server_address[1]
+
+    def warmup(self):
+        """Compile the single-image bucket so the first request isn't a
+        multi-second (remote) compile stall."""
+        kps = np.zeros((1, 3, 17), np.float32)
+        kk = np.eye(3, dtype=np.float32)
+        kps_r = kps if self.net.net == 'monstereo' else None
+        self.net.forward_batch([kps], [kk],
+                               [kps_r] if kps_r is not None else None)
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.stop()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__.split('\n', 1)[0])
+    parser.add_argument('--model', required=True, help='checkpoint path')
+    parser.add_argument('--mode', default='mono', choices=('mono', 'stereo'))
+    parser.add_argument('--net', default=None)
+    parser.add_argument('--host', default='127.0.0.1')
+    parser.add_argument('--port', type=int, default=8080)
+    parser.add_argument('--window-ms', type=float, default=2.0,
+                        help='micro-batch coalescing window')
+    parser.add_argument('--max-batch', type=int, default=64)
+    parser.add_argument('--n-dropout', type=int, default=0,
+                        help='MC-dropout samples for epistemic uncertainty')
+    args = parser.parse_args(argv)
+
+    from .utils import enable_compilation_cache
+    from .utils.backend import require_live_backend
+    require_live_backend(context='serve')
+    enable_compilation_cache()
+    from .network import Loco
+    net = Loco(model=args.model, mode=args.mode, net=args.net,
+               n_dropout=args.n_dropout)
+    server = Server(net, host=args.host, port=args.port,
+                    window_ms=args.window_ms, max_batch=args.max_batch)
+    print(f'warming up (compiling the single-image bucket)...', flush=True)
+    server.warmup()
+    print(f'serving {net.net} (hidden {net.linear_size}) on '
+          f'http://{args.host}:{server.port}  '
+          f'[window {args.window_ms} ms, max batch {args.max_batch}]',
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == '__main__':
+    main()
