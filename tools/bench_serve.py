@@ -1,0 +1,130 @@
+"""Load-test the micro-batching serving endpoint (monoloco_tpu/serve.py).
+
+Starts an in-process Server (in-memory or checkpoint weights), fires
+--clients concurrent closed-loop clients each issuing --requests POSTs of an
+--dets-detection image, and reports requests/sec, latency percentiles, and
+the achieved batch coalescing (mean/max batch per dispatch) from /metrics.
+
+The point being measured: with coalescing, N concurrent clients cost ~one
+device dispatch per window instead of N — server throughput scales with the
+batch bucket, not the request count.
+
+Usage:
+  python tools/bench_serve.py --model data/outputs/v_r3.pkl \
+      --clients 32 --requests 20 [--window-ms 2] [--dets 4]
+CPU: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/bench_serve.py ...
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KK = [[718.3351, 0.0, 600.3891], [0.0, 718.3351, 181.5122], [0.0, 0.0, 1.0]]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--model', default=None,
+                    help='checkpoint path (default: random-init hidden 1024)')
+    ap.add_argument('--clients', type=int, default=32)
+    ap.add_argument('--requests', type=int, default=20)
+    ap.add_argument('--dets', type=int, default=4,
+                    help='detections per request image')
+    ap.add_argument('--window-ms', type=float, default=2.0)
+    ap.add_argument('--max-batch', type=int, default=64)
+    args = ap.parse_args()
+
+    from monoloco_tpu.utils import enable_compilation_cache
+    from monoloco_tpu.utils.backend import require_live_backend
+    require_live_backend(context='bench_serve')
+    enable_compilation_cache()
+    import jax
+    from monoloco_tpu.models import init_loco_params
+    from monoloco_tpu.network import Loco
+    from monoloco_tpu.serve import Server
+
+    if args.model:
+        net = Loco(model=args.model, mode='mono')
+    else:
+        params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 1024, 3)
+        net = Loco((params, bn), mode='mono')
+    server = Server(net, port=0, window_ms=args.window_ms,
+                    max_batch=args.max_batch)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.port
+
+    rng = np.random.RandomState(0)
+    kps = (rng.rand(args.dets, 3, 17) * 300).tolist()
+    body = json.dumps({'keypoints': kps, 'kk': KK}).encode()
+
+    def post():
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/v1/predict', data=body,
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            json.loads(resp.read())
+
+    # Warm every batch bucket the load can hit (1..max_batch caps at the
+    # bucket granularity; one full-batch warmup covers the largest).
+    print('warming up (compiling serve buckets)...', flush=True)
+    t0 = time.time()
+    warm = [threading.Thread(target=post) for _ in range(args.clients)]
+    for t in warm:
+        t.start()
+    for t in warm:
+        t.join()
+    post()
+    print(f'warmup done in {time.time() - t0:.1f}s', flush=True)
+
+    lat = []
+    lock = threading.Lock()
+
+    def client():
+        for _ in range(args.requests):
+            t1 = time.perf_counter()
+            post()
+            dt = time.perf_counter() - t1
+            with lock:
+                lat.append(dt)
+
+    threads = [threading.Thread(target=client) for _ in range(args.clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    with urllib.request.urlopen(f'http://127.0.0.1:{port}/metrics',
+                                timeout=30) as resp:
+        metrics = json.loads(resp.read())
+    server.shutdown()
+
+    lat.sort()
+    n = len(lat)
+    print(json.dumps({
+        'metric': 'serve_requests_per_sec',
+        'value': round(n / wall, 1),
+        'clients': args.clients,
+        'dets_per_request': args.dets,
+        'window_ms': args.window_ms,
+        'latency_ms': {
+            'p50': round(statistics.median(lat) * 1e3, 2),
+            'p90': round(lat[int(0.9 * (n - 1))] * 1e3, 2),
+            'p99': round(lat[int(0.99 * (n - 1))] * 1e3, 2)},
+        'mean_batch': round(metrics['mean_batch'], 2),
+        'max_batch': metrics['max_batch'],
+        'inferences_per_sec': round(n * args.dets / wall, 1)}))
+
+
+if __name__ == '__main__':
+    main()
