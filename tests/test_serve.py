@@ -120,3 +120,24 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _get(server.port, '/nope')
     assert exc.value.code == 404
+
+
+def test_stereo_server():
+    """monstereo serving: keypoints_r present and absent (left duplicated, as
+    Loco.forward does)."""
+    params, bn = init_loco_params(jax.random.PRNGKey(1), 68, 10, 64, 2)
+    net = Loco((params, bn), mode='stereo', linear_size=64, n_stage=2)
+    srv = Server(net, port=0, window_ms=50.0, max_batch=16)
+    srv.warmup()
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        out = _post(srv.port, {'keypoints': _keypoints(2), 'kk': KK,
+                               'keypoints_r': _keypoints(3, seed=5)})
+        assert len(out['outputs']['xyzd']) == 2
+        out2 = _post(srv.port, {'keypoints': _keypoints(2), 'kk': KK})
+        assert len(out2['outputs']['xyzd']) == 2
+        h = _get(srv.port, '/healthz')
+        assert h['net'] == 'monstereo'
+    finally:
+        srv.shutdown()
