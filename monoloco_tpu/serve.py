@@ -176,8 +176,11 @@ def make_handler(batcher, net, timeout_s=60.0):
             if self.path != '/v1/predict':
                 self._reply(404, {'error': 'unknown path'})
                 return
+            length = int(self.headers.get('Content-Length', 0))
+            if length > 64 * 1024 * 1024:
+                self._reply(413, {'error': 'request body too large'})
+                return
             try:
-                length = int(self.headers.get('Content-Length', 0))
                 req = json.loads(self.rfile.read(length))
                 kps = np.asarray(req['keypoints'], np.float32)
                 kk = np.asarray(req['kk'], np.float32)
