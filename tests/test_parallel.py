@@ -48,6 +48,42 @@ def test_dryrun_multichip_flagship(monkeypatch):
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_reexec_retries_with_toy_shapes_on_child_abort(monkeypatch):
+    """A flagship-size virtual-CPU child can be OOM-killed under host memory
+    contention (observed rc=-6 alongside a concurrent pytest run): the re-exec
+    must retry once with MONOLOCO_DRYRUN_TOY=1 instead of failing the driver's
+    MULTICHIP contract."""
+    import subprocess
+    import __graft_entry__
+    monkeypatch.delenv('MONOLOCO_DRYRUN_TOY', raising=False)
+    calls = []
+
+    def fake_run(cmd, env=None, **kw):
+        calls.append(env.get('MONOLOCO_DRYRUN_TOY'))
+        rc = -6 if env.get('MONOLOCO_DRYRUN_TOY') != '1' else 0
+        return subprocess.CompletedProcess(cmd, rc, stdout='', stderr='')
+
+    monkeypatch.setattr(__graft_entry__.subprocess, 'run', fake_run)
+    __graft_entry__._reexec_on_virtual_cpu(8)
+    assert calls == [None, '1']
+
+
+def test_reexec_does_not_retry_when_toy_child_fails(monkeypatch):
+    import subprocess
+    import __graft_entry__
+    monkeypatch.setenv('MONOLOCO_DRYRUN_TOY', '1')
+    calls = []
+
+    def fake_run(cmd, env=None, **kw):
+        calls.append(env.get('MONOLOCO_DRYRUN_TOY'))
+        return subprocess.CompletedProcess(cmd, 1, stdout='', stderr='boom')
+
+    monkeypatch.setattr(__graft_entry__.subprocess, 'run', fake_run)
+    with pytest.raises(RuntimeError, match='child failed'):
+        __graft_entry__._reexec_on_virtual_cpu(8)
+    assert calls == ['1']
+
+
 def test_available_devices_hung_backend_probe_degrades_to_none(monkeypatch):
     """A dead TPU tunnel makes jax.devices() block forever in PJRT init
     (observed live): the probe must time out and report the backend
