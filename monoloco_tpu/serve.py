@@ -191,7 +191,12 @@ def make_handler(batcher, net, timeout_s=60.0):
                     raise ValueError(f'kk must be (3, 3), got {kk.shape}')
                 kps_r = req.get('keypoints_r')
                 if kps_r is not None:
+                    # Validate here, not in the batcher: a dispatch-time
+                    # failure poisons the whole coalesced batch with 500s.
                     kps_r = np.asarray(kps_r, np.float32)
+                    if kps_r.ndim != 3 or kps_r.shape[1:] != (3, 17):
+                        raise ValueError(f'keypoints_r must be (r, 3, 17), '
+                                         f'got {kps_r.shape}')
             except (ValueError, KeyError, json.JSONDecodeError) as exc:
                 self._reply(400, {'error': str(exc)})
                 return

@@ -110,7 +110,9 @@ def test_malformed_requests(server):
     for payload, msg in (
             ({'kk': KK}, 'missing keypoints'),
             ({'keypoints': [[1.0, 2.0]], 'kk': KK}, 'bad shape'),
-            ({'keypoints': _keypoints(1), 'kk': [[1.0]]}, 'bad kk')):
+            ({'keypoints': _keypoints(1), 'kk': [[1.0]]}, 'bad kk'),
+            ({'keypoints': _keypoints(1), 'kk': KK,
+              'keypoints_r': [[1.0, 2.0]]}, 'bad keypoints_r shape')):
         with pytest.raises(urllib.error.HTTPError) as exc:
             _post(server.port, payload)
         assert exc.value.code == 400, msg
