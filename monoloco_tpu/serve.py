@@ -91,6 +91,15 @@ class Batcher:
     def stop(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        # Fail pending requests instead of leaving their handler threads to
+        # hit the 60 s wait timeout during shutdown.
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.error = 'server shutting down'
+            req.event.set()
 
     def _collate(self):
         while not self._stop.is_set():
@@ -279,10 +288,17 @@ def main(argv=None):
           f'http://{args.host}:{server.port}  '
           f'[window {args.window_ms} ms, max batch {args.max_batch}]',
           flush=True)
+    import signal
+    # httpd.shutdown() blocks until serve_forever's loop exits; the handler
+    # runs ON the main thread that loop is suspended under, so it must hand
+    # the call to another thread or deadlock.
+    signal.signal(signal.SIGTERM, lambda *_: threading.Thread(
+        target=server.httpd.shutdown, daemon=True).start())
     try:
-        server.serve_forever()
+        server.serve_forever()      # returns when SIGTERM shuts the httpd down
     except KeyboardInterrupt:
-        server.shutdown()
+        pass
+    server.shutdown()
 
 
 if __name__ == '__main__':

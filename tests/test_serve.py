@@ -124,6 +124,20 @@ def test_unknown_path_404(server):
     assert exc.value.code == 404
 
 
+def test_stop_drains_pending_requests():
+    """Requests still queued at shutdown must fail immediately, not leave
+    their handler threads waiting out the 60 s timeout."""
+    from monoloco_tpu.serve import Batcher
+    batcher = Batcher(net=None)          # net is only touched at dispatch
+    batcher._stop.set()
+    batcher._thread.join(timeout=5)
+    req = batcher.submit(np.zeros((1, 3, 17), np.float32),
+                         np.eye(3, dtype=np.float32))
+    batcher.stop()
+    assert req.event.is_set()
+    assert req.error == 'server shutting down'
+
+
 def test_stereo_server():
     """monstereo serving: keypoints_r present and absent (left duplicated, as
     Loco.forward does)."""
