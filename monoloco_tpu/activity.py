@@ -111,7 +111,15 @@ def is_raising_hand(kp):
     def arm_angle(hand, elbow, shoulder):
         forearm = np.array([kp[x][hand] - kp[x][elbow], kp[y][hand] - kp[y][elbow]])
         arm = np.array([kp[x][shoulder] - kp[x][elbow], kp[y][shoulder] - kp[y][elbow]])
-        cosang = np.dot(forearm / np.linalg.norm(forearm), arm / np.linalg.norm(arm))
+        norms = np.linalg.norm(forearm) * np.linalg.norm(arm)
+        if norms == 0.0:
+            # Collapsed forearm/arm (hand==elbow or elbow==shoulder): the
+            # reference divides by zero here and the NaN happens to compare
+            # False downstream (reference activity.py:70-117, accidental).
+            # Pin that outcome deterministically: angle 0 < 30 deg -> the arm
+            # is never "risen". Warning-free under -W error.
+            return 0.0
+        cosang = np.clip(np.dot(forearm, arm) / norms, -1.0, 1.0)
         return (90 / np.pi) * np.arccos(cosang)
 
     l_angle = arm_angle(_L_HAND, _L_ELBOW, _L_SHOULDER)

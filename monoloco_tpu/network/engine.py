@@ -27,12 +27,11 @@ import jax.numpy as jnp
 # pins full f32 for maximum numerical parity with the f32 reference, e.g. when
 # evaluating converted reference checkpoints:
 #   MONOLOCO_TPU_PRECISION=float32 python -m monoloco_tpu.run eval ...
-# bench.py-style aliases (f32/bf16; int8 is a bench-only path) normalize to
-# jax.default_matmul_precision values so both spellings work everywhere.
-_MATMUL_PRECISION = os.environ.get('MONOLOCO_TPU_PRECISION', 'default')
-_MATMUL_PRECISION = {'f32': 'float32', 'fp32': 'float32', 'bf16': 'bfloat16',
-                     'int8': 'default'}.get(_MATMUL_PRECISION, _MATMUL_PRECISION)
-_PIN_F32 = _MATMUL_PRECISION in ('float32', 'highest')
+# Shared with the trainer via utils.precision (one knob governs the process).
+from ..utils.precision import (
+    MATMUL_PRECISION as _MATMUL_PRECISION,
+    PIN_F32 as _PIN_F32,
+)
 
 from ..geometry import get_iou_matches, reorder_matches
 from ..geometry.host import (

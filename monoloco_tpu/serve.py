@@ -67,25 +67,46 @@ class _Request:
 
 
 class Batcher:
-    """Coalesce concurrent requests into single forward_batch dispatches."""
+    """Coalesce concurrent requests into single forward_batch dispatches.
 
-    def __init__(self, net, window_ms=2.0, max_batch=64):
+    Backpressure: the request queue is BOUNDED (`max_queue`, default
+    8 * max_batch). When offered load exceeds chip throughput the queue fills
+    and submit() returns None — the HTTP layer sheds that request with
+    503 + Retry-After instead of letting latency grow without bound. Shed
+    count is exported in /metrics.
+    """
+
+    def __init__(self, net, window_ms=2.0, max_batch=64, max_queue=None):
         self.net = net
         self.window_s = window_ms / 1e3
         self.max_batch = max_batch
-        self._queue = queue.Queue()
+        self.max_queue = max_queue if max_queue is not None else 8 * max_batch
+        self._queue = queue.Queue(maxsize=self.max_queue)
         self._stop = threading.Event()
         # metrics
         self.n_requests = 0
         self.n_batches = 0
+        self.n_shed = 0
         self.batch_sizes = deque(maxlen=1000)
         self.latencies_s = deque(maxlen=1000)
         self._thread = threading.Thread(target=self._collate, daemon=True)
         self._thread.start()
 
     def submit(self, keypoints, kk, keypoints_r=None):
+        """Enqueue a request, or return None when the server is saturated
+        (queue full) or shutting down — the caller sheds with 503."""
         req = _Request(keypoints, kk, keypoints_r)
-        self._queue.put(req)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            self.n_shed += 1
+            return None
+        # Close the submit/stop race: a request enqueued concurrently with
+        # the drain loop would otherwise be neither dispatched nor failed and
+        # its handler thread would wait out the full timeout. Re-drain after
+        # the put when shutdown has begun.
+        if self._stop.is_set():
+            self._fail_pending()
         return req
 
     def stop(self):
@@ -93,6 +114,9 @@ class Batcher:
         self._thread.join(timeout=5)
         # Fail pending requests instead of leaving their handler threads to
         # hit the 60 s wait timeout during shutdown.
+        self._fail_pending()
+
+    def _fail_pending(self):
         while True:
             try:
                 req = self._queue.get_nowait()
@@ -171,6 +195,9 @@ def make_handler(batcher, net, timeout_s=60.0):
                 self._reply(200, {
                     'requests': batcher.n_requests,
                     'batches': batcher.n_batches,
+                    'shed': batcher.n_shed,
+                    'queue_depth': batcher._queue.qsize(),
+                    'max_queue': batcher.max_queue,
                     'mean_batch': (sum(batcher.batch_sizes)
                                    / max(1, len(batcher.batch_sizes))),
                     'max_batch': max(batcher.batch_sizes, default=0),
@@ -211,6 +238,16 @@ def make_handler(batcher, net, timeout_s=60.0):
                 return
 
             r = batcher.submit(kps, kk, kps_r)
+            if r is None:
+                # Saturated: shed load instead of queueing without bound.
+                body = json.dumps({'error': 'server overloaded'}).encode()
+                self.send_response(503)
+                self.send_header('Content-Type', 'application/json')
+                self.send_header('Retry-After', '1')
+                self.send_header('Content-Length', str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if not r.event.wait(timeout_s):
                 self._reply(504, {'error': 'inference timed out'})
                 return
@@ -231,11 +268,12 @@ class Server:
     """Composable server object (tests construct it with an in-memory net)."""
 
     def __init__(self, net, host='127.0.0.1', port=8080, window_ms=2.0,
-                 max_batch=64):
+                 max_batch=64, max_queue=None, timeout_s=60.0):
         self.net = net
-        self.batcher = Batcher(net, window_ms=window_ms, max_batch=max_batch)
+        self.batcher = Batcher(net, window_ms=window_ms, max_batch=max_batch,
+                               max_queue=max_queue)
         self.httpd = ThreadingHTTPServer(
-            (host, port), make_handler(self.batcher, net))
+            (host, port), make_handler(self.batcher, net, timeout_s=timeout_s))
 
     @property
     def port(self):
@@ -269,6 +307,9 @@ def main(argv=None):
     parser.add_argument('--window-ms', type=float, default=2.0,
                         help='micro-batch coalescing window')
     parser.add_argument('--max-batch', type=int, default=64)
+    parser.add_argument('--max-queue', type=int, default=None,
+                        help='bounded request-queue depth; beyond it requests '
+                             'shed with 503 (default 8 * max_batch)')
     parser.add_argument('--n-dropout', type=int, default=0,
                         help='MC-dropout samples for epistemic uncertainty')
     args = parser.parse_args(argv)
@@ -281,7 +322,8 @@ def main(argv=None):
     net = Loco(model=args.model, mode=args.mode, net=args.net,
                n_dropout=args.n_dropout)
     server = Server(net, host=args.host, port=args.port,
-                    window_ms=args.window_ms, max_batch=args.max_batch)
+                    window_ms=args.window_ms, max_batch=args.max_batch,
+                    max_queue=args.max_queue)
     print(f'warming up (compiling the single-image bucket)...', flush=True)
     server.warmup()
     print(f'serving {net.net} (hidden {net.linear_size}) on '

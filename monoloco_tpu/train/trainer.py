@@ -45,6 +45,7 @@ from ..models import init_loco_params, loco_forward, count_params
 from ..network.decode import extract_outputs, extract_labels
 from ..parallel import constrain_batch, constrain_by_specs, loco_param_specs, MODEL_AXIS
 from ..utils import set_logger
+from ..utils.precision import with_matmul_precision
 
 
 def _make_trainable(params, log_sigmas):
@@ -225,12 +226,17 @@ def _train_programs(tasks, lambdas, bs, n, p_drop, mesh, val_idx):
             step, (params, log_sigmas, bn_state, opt_state, best), epochs)
         return carry, logs
 
+    # Training honors the same MONOLOCO_TPU_PRECISION knob as the engine
+    # (utils/precision.py): float32 pins every training matmul to full f32 for
+    # bf16-sensitivity studies; 'default' leaves this a no-op wrapper.
     return SimpleNamespace(
-        train_epoch=jax.jit(train_epoch, donate_argnums=(3,)),
-        val_metrics=jax.jit(val_metrics),
-        eval_stats=jax.jit(eval_stats),
-        train_chunk=jax.jit(train_chunk, donate_argnums=(3, 4)),
-        train_chunk_fn=train_chunk,
+        train_epoch=jax.jit(with_matmul_precision(train_epoch),
+                            donate_argnums=(3,)),
+        val_metrics=jax.jit(with_matmul_precision(val_metrics)),
+        eval_stats=jax.jit(with_matmul_precision(eval_stats)),
+        train_chunk=jax.jit(with_matmul_precision(train_chunk),
+                            donate_argnums=(3, 4)),
+        train_chunk_fn=with_matmul_precision(train_chunk),
         optimizer=optimizer,
         opt_init=jax.jit(optimizer.init),
     )

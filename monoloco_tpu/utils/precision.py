@@ -1,0 +1,40 @@
+"""Matmul-precision knob shared by inference AND training.
+
+MONOLOCO_TPU_PRECISION selects the precision XLA uses for matmuls on TPU:
+  default    TPU-native (bfloat16 multiplications, f32 accumulate) — fastest.
+  float32 / highest   full f32 multiplications — maximum numerical parity with
+             the f32 PyTorch reference (e.g. when evaluating converted
+             reference checkpoints, or for bf16-sensitivity ablations like the
+             RALP-5% study in BASELINE.md).
+  bfloat16 / tensorfloat32   explicit lower precisions.
+Aliases f32/fp32/bf16 normalize to the jax.default_matmul_precision spellings;
+int8 is a bench-only quantization path (ops/quant.py) and maps to 'default'
+for the float programs around it.
+
+The env var is read once at import: the whole process (trainer + engine) runs
+at one precision, so lru-cached jitted programs never mix traces.
+"""
+
+import functools
+import os
+
+MATMUL_PRECISION = os.environ.get('MONOLOCO_TPU_PRECISION', 'default')
+MATMUL_PRECISION = {'f32': 'float32', 'fp32': 'float32', 'bf16': 'bfloat16',
+                    'int8': 'default'}.get(MATMUL_PRECISION, MATMUL_PRECISION)
+PIN_F32 = MATMUL_PRECISION in ('float32', 'highest')
+
+
+def with_matmul_precision(fn):
+    """Wrap `fn` so its body traces under the configured matmul precision.
+    Apply INSIDE jit (i.e. jit(with_matmul_precision(f))) so the context is
+    active during tracing. No-op wrapper when the precision is 'default'."""
+    if MATMUL_PRECISION == 'default':
+        return fn
+    import jax
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision(MATMUL_PRECISION):
+            return fn(*args, **kwargs)
+
+    return wrapped

@@ -47,12 +47,40 @@ def image_canvas(image, output_path=None, show=False, fig_width=10.0,
     plt.close(fig)
 
 
+def _gaussian_blur(image, sigma=2.5):
+    """Separable Gaussian blur (scipy-free) matching the reference's
+    ndimage.gaussian_filter(image, sigma=(sigma, sigma, 0)) on the
+    social-distance canvas (reference visuals/pifpaf_show.py:59).
+
+    Edge-reflected 1-D convolutions along rows then columns; the kernel is
+    truncated at 4 sigma like scipy's default, and the boundary handling
+    matches scipy's 'reflect' (= numpy's 'symmetric': edge sample repeated)."""
+    image = np.asarray(image, dtype=np.float32)
+    radius = int(4.0 * sigma + 0.5)
+    xs = np.arange(-radius, radius + 1, dtype=np.float32)
+    kernel = np.exp(-0.5 * (xs / sigma) ** 2)
+    kernel /= kernel.sum()
+
+    def conv_axis0(arr):
+        pad = np.pad(arr, [(radius, radius)] + [(0, 0)] * (arr.ndim - 1),
+                     mode='symmetric')
+        out = np.zeros_like(arr)
+        for i, w in enumerate(kernel):
+            out += w * pad[i:i + arr.shape[0]]
+        return out
+
+    blurred = conv_axis0(image)                       # rows
+    blurred = conv_axis0(blurred.swapaxes(0, 1)).swapaxes(0, 1)  # columns
+    return blurred
+
+
 @contextmanager
 def blurred_canvas(image, output_path=None, show=False, fig_width=10.0):
-    """Canvas with a softened background (social-distancing style)."""
-    image = np.asarray(image, dtype=np.float32)
-    soft = image * 0.5 + image.mean(axis=(0, 1), keepdims=True) * 0.5
-    with image_canvas(soft.astype(np.uint8), output_path, show, fig_width) as ax:
+    """Canvas with a Gaussian-blurred background (social-distancing style,
+    reference visuals/pifpaf_show.py:59: sigma 2.5 over the image axes)."""
+    soft = _gaussian_blur(image, sigma=2.5)
+    with image_canvas(np.clip(soft, 0, 255).astype(np.uint8),
+                      output_path, show, fig_width) as ax:
         yield ax
 
 

@@ -7,6 +7,7 @@ import matplotlib
 matplotlib.use('Agg')
 import matplotlib.pyplot as plt
 import numpy as np
+import pytest
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -79,3 +80,34 @@ def test_canvases_write_files(tmp_path):
     with blurred_canvas(image, output_path=out2) as ax:
         ax.plot([0, 10], [0, 10])
     assert os.path.exists(out1) and os.path.exists(out2)
+
+
+def test_gaussian_blur_matches_scipy():
+    """The scipy-free separable blur must match the reference's
+    ndimage.gaussian_filter(image, sigma=(2.5, 2.5, 0)) (reference
+    visuals/pifpaf_show.py:59) to float tolerance."""
+    scipy_ndimage = pytest.importorskip('scipy.ndimage')
+    from monoloco_tpu.visuals.pifpaf_show import _gaussian_blur
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
+    ours = _gaussian_blur(image, sigma=2.5)
+    ref = scipy_ndimage.gaussian_filter(
+        image.astype(np.float32), sigma=(2.5, 2.5, 0))
+    assert np.max(np.abs(ours - ref)) < 1e-2
+
+
+def test_blur_reduces_high_frequency_energy():
+    """The social-distance canvas background must genuinely blur: the
+    high-frequency (pixel-difference) energy of a noisy background drops by
+    an order of magnitude, and is NOT a 50/50 mean-mix (which keeps half the
+    original high-frequency energy by construction)."""
+    from monoloco_tpu.visuals.pifpaf_show import _gaussian_blur
+    rng = np.random.RandomState(1)
+    image = rng.randint(0, 256, size=(64, 64, 3)).astype(np.float32)
+
+    def hf_energy(arr):
+        return float(np.mean(np.abs(np.diff(arr, axis=0)))
+                     + np.mean(np.abs(np.diff(arr, axis=1))))
+
+    blurred = _gaussian_blur(image, sigma=2.5)
+    assert hf_energy(blurred) < 0.1 * hf_energy(image)

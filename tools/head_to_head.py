@@ -45,6 +45,11 @@ RESULTS = os.environ.get('H2H_RESULTS', '/tmp/h2h/results.jsonl')
 EPOCHS = 500
 # Training seeds per leg (override: H2H_SEEDS="1,2,3").
 SEEDS = tuple(int(s) for s in os.environ.get('H2H_SEEDS', '1,2').split(','))
+# Matmul precision of the tpu leg (MONOLOCO_TPU_PRECISION=float32 pins every
+# training/inference matmul to f32 — the bf16-sensitivity ablation for the
+# RALP-5% study). Recorded per leg so mixed-precision results files stay
+# separable; reference legs are always torch f32.
+PRECISION = os.environ.get('MONOLOCO_TPU_PRECISION', 'default')
 
 
 def make_root(root, mode):
@@ -317,7 +322,9 @@ def already_done(framework, mode, seed):
                         == (framework, mode, seed)
                         and r.get('n_train') == N_TRAIN
                         and r.get('n_val') == N_VAL
-                        and r.get('hard') == HARD):
+                        and r.get('hard') == HARD
+                        and (framework != 'monoloco_tpu'
+                             or r.get('precision', 'default') == PRECISION)):
                     return True
     except FileNotFoundError:
         pass
@@ -328,6 +335,8 @@ def emit(framework, mode, seed, metrics, wall, ralp=None):
     rec = {'framework': framework, 'mode': mode, 'r_seed': seed,
            'n_train': N_TRAIN, 'n_val': N_VAL, 'hard': HARD,
            'train_wall_s': round(wall, 1), **metrics}
+    if framework == 'monoloco_tpu' and PRECISION != 'default':
+        rec['precision'] = PRECISION
     if ralp is not None:
         rec['ralp'] = ralp
     line = json.dumps(rec)
