@@ -39,8 +39,10 @@ PROBE_TIMEOUT_S = os.environ.get('MONOLOCO_TPU_BENCH_PROBE_S')
 def _require_live_backend(timeout_s):
     from monoloco_tpu.utils.backend import require_live_backend
     require_live_backend(timeout_s, context='bench')
-# 'bf16' (default, reported metric), 'f32', or 'int8' (opt-in quantized path,
-# ~0.8% mean decoded-distance deviation — see monoloco_tpu/ops/quant.py).
+# 'bf16' (default, reported metric), 'f32', 'int8' (opt-in quantized serving:
+# the fused int8 Pallas kernel, measured 1.50x bf16-XLA same-session at ~0.8%
+# mean decoded-distance deviation — PARITY.md round-4, ops/fused_mlp.py), or
+# 'int8-xla' (the XLA int8 ablation, ops/quant.py — loses to the kernel).
 PRECISION = os.environ.get('MONOLOCO_TPU_PRECISION', 'bf16')
 
 
@@ -54,18 +56,31 @@ def main():
 
     params, bn_state = init_loco_params(jax.random.PRNGKey(0), 34, 9, 1024, 3)
     folded = fold_eval_params(params, bn_state, arch='loco')
-    if PRECISION == 'int8':
-        from monoloco_tpu.ops.quant import quantize_folded, quantized_forward
+    if PRECISION in ('int8', 'int8-xla'):
         rng_c = np.random.RandomState(1)
         calib_kp = jnp.asarray(rng_c.rand(4096, 3, 17) * 300, jnp.float32)
         kk_c = jnp.asarray([[718.3351, 0., 600.3891],
                             [0., 718.3351, 181.5122], [0., 0., 1.]], jnp.float32)
-        folded = quantize_folded(folded, preprocess_monoloco(calib_kp, kk_c))
+        calib_x = preprocess_monoloco(calib_kp, kk_c)
+        if PRECISION == 'int8':
+            # The winning route (and what the engine serves under int8):
+            # fused Pallas kernel, int8 MXU + in-kernel quant/dequant.
+            from monoloco_tpu.ops import (pack_folded_weights_int8,
+                                          fused_loco_forward_int8)
+            packed_q = pack_folded_weights_int8(folded, calib_x)
+
+            def mlp(inputs):
+                return fused_loco_forward_int8(packed_q, inputs, tile=512)
+        else:
+            from monoloco_tpu.ops.quant import quantize_folded, quantized_forward
+            q = quantize_folded(folded, calib_x)
+
+            def mlp(inputs):
+                return quantized_forward(q, inputs)
 
         def serve_once(folded, keypoints, kk):
             inputs = preprocess_monoloco(keypoints, kk)
-            raw = quantized_forward(folded, inputs)
-            out = extract_outputs(raw)
+            out = extract_outputs(mlp(inputs))
             return out['xyzd'], out['bi'], out['yaw'][0], out['h'], out['w'], out['l']
     else:
         if PRECISION != 'f32':

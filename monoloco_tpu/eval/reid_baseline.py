@@ -97,6 +97,52 @@ def convert_torch_resnet50(state_dict):
     return params
 
 
+# ---------------------------------------------------------------------------
+# Tiny trainable embedding (in-container substitute for Market-1501 weights)
+#
+# This zero-egress container cannot download the reference's Market-1501
+# checkpoint, so the resnet50 path cannot reproduce reference associations.
+# The tiny net (3 strided convs + linear, ~25k params, L2-normalized 64-d
+# features) is trained on synthetic identity textures
+# (tools/train_tiny_reid.py on tools/make_synthetic_kitti.py crops) and
+# shipped as tests/fixture_tiny_reid.pkl — it makes `eval --baselines`'s reid
+# association MEANINGFUL on synthetic stereo scenes (measurably better than
+# chance, tests/test_reid_synthetic.py). It is NOT a Market-1501 substitute
+# for real images; pointing --reid_weights at a torch checkpoint still takes
+# the converted-resnet50 path.
+# ---------------------------------------------------------------------------
+
+TINY_HEIGHT, TINY_WIDTH = 64, 32
+
+
+def tiny_reid_features(params, x):
+    """(n, 64, 32, 3) NHWC float input -> L2-normalized (n, 64) features."""
+    for name in ('c1', 'c2', 'c3'):
+        x = jax.nn.relu(_conv(x, params[name]['w'], stride=2)
+                        + params[name]['b'])
+    f = x.mean(axis=(1, 2))
+    f = f @ params['fc']['w'] + params['fc']['b']
+    return f / (jnp.linalg.norm(f, axis=1, keepdims=True) + 1e-8)
+
+
+def init_tiny_reid(key, feat_dim=64):
+    ks = jax.random.split(key, 4)
+
+    def conv(k, cin, cout, ksize=3):
+        w = jax.random.normal(k, (ksize, ksize, cin, cout)) \
+            * np.sqrt(2.0 / (ksize * ksize * cin))
+        return {'w': w.astype(jnp.float32), 'b': jnp.zeros((cout,), jnp.float32)}
+
+    return {
+        'c1': conv(ks[0], 3, 16),
+        'c2': conv(ks[1], 16, 32),
+        'c3': conv(ks[2], 32, 64),
+        'fc': {'w': (jax.random.normal(ks[3], (64, feat_dim))
+                     * np.sqrt(1.0 / 64)).astype(jnp.float32),
+               'b': jnp.zeros((feat_dim,), jnp.float32)},
+    }
+
+
 def init_resnet50(key):
     """Random init (for tests / when no pretrained weights are available)."""
     params = {}
@@ -128,7 +174,10 @@ class ReID:
     def __init__(self, weights_path=None, device=None, num_classes=751,
                  height=256, width=128):
         self.height, self.width = height, width
-        if weights_path:
+        self._features = resnet50_features
+        if weights_path and self._try_load_tiny(weights_path):
+            pass
+        elif weights_path:
             import torch
             checkpoint = torch.load(weights_path, map_location='cpu')
             if hasattr(checkpoint, 'state_dict'):
@@ -155,7 +204,29 @@ class ReID:
             print("! WARNING: ReID running UNTRAINED (random features) — "
                   "reid txts are invalid !")
             print("!" * 79)
-        self._forward = jax.jit(resnet50_features)
+        self._forward = jax.jit(self._features)
+
+    def _try_load_tiny(self, weights_path):
+        """Load a tiny-embedding checkpoint (format 'tiny_reid-v1', written by
+        tools/train_tiny_reid.py). Returns False for any other file so the
+        torch/Market-1501 path handles it."""
+        import pickle
+        try:
+            with open(weights_path, 'rb') as f:
+                blob = pickle.load(f)
+        except Exception:  # noqa: BLE001 — torch pickles need torch.load
+            return False
+        if not (isinstance(blob, dict) and blob.get('format') == 'tiny_reid-v1'):
+            return False
+        self.params = jax.tree_util.tree_map(jnp.asarray, blob['params'])
+        self.height = int(blob.get('height', TINY_HEIGHT))
+        self.width = int(blob.get('width', TINY_WIDTH))
+        self._features = tiny_reid_features
+        self.pretrained = True
+        print(f"Loaded tiny synthetic-texture ReID weights from "
+              f"'{weights_path}' (NOT Market-1501 — meaningful on synthetic "
+              f"scenes only)")
+        return True
 
     def _preprocess(self, images):
         batch = []

@@ -50,67 +50,37 @@ from ..activity import social_interactions, is_raising_hand
 N_SAMPLES = 100
 LINEAR_SIZE_MONO = 256
 
-# MONOLOCO_TPU_KERNEL selects the eval-MLP kernel:
-#   xla (default)   XLA-fused path. Chosen from END-TO-END measurement: the
-#                   Pallas kernel wins the isolated-MLP microbenchmark up to
-#                   2.24x at (hidden 1024, rows 4096) but LOSES inside the
-#                   full serving program (preprocess+MLP+decode fuse into one
-#                   XLA program; splitting at the pallas_call boundary costs
-#                   more than the kernel saves) — PARITY.md round-3 crossover
-#                   study, tools/bench_pallas_crossover.py.
-#   auto            fused kernel inside its measured microbenchmark win regime
-#                   on a real TPU (an ablation: known not to help end-to-end);
-#   pallas          force the fused kernel wherever legal (interpret mode
-#                   off-TPU — the CI coverage path).
-_KERNEL_MODE = os.environ.get('MONOLOCO_TPU_KERNEL', 'xla') or 'xla'
-if _KERNEL_MODE not in ('auto', 'pallas', 'xla'):
-    _KERNEL_MODE = 'xla'
-
-
-def _auto_regime_hidden(hidden):
-    """The single source of truth for the kernel's measured win regime in
-    hidden size — shared by _pallas_serves (trace-time route choice) and
-    Loco.__init__'s want_packed (whether packed weights are built at all),
-    so a re-measured crossover cannot be updated in one site and silently
-    strand the other."""
-    return _KERNEL_MODE == 'auto' and jax.default_backend() == 'tpu' \
-        and 512 <= hidden <= 1024
-
-
-def _pallas_serves(hidden, rows):
-    """Measured crossover (tools/bench_pallas_crossover.py on TPU v5e-1,
-    PARITY.md): the fused kernel wins 1.02-2.24x for 512 <= hidden <= 1024 at
-    serving batches 1k-64k (2.24x at the image-stream shape 4096 x 1024); XLA
-    wins at tiny per-image buckets, at 128k+ scan batches, and for the 256-wide
-    legacy trunk. `rows` is static inside the traced program, so the choice is
-    made per compiled shape."""
-    if _KERNEL_MODE == 'pallas':
-        return True
-    return _auto_regime_hidden(hidden) and 1024 <= rows <= 65536
+# Serving kernel selection (settled by end-to-end measurement on v5e-1):
+#  - default / float32: the XLA-fused folded MLP. The bf16 Pallas kernel wins
+#    the isolated-MLP microbenchmark (2.24x at 1024x4096) but LOSES inside
+#    the full serving program (7.29M vs 7.92M same-session; splitting at the
+#    pallas_call boundary costs more than it saves) — it lives on as an
+#    ablation only (ops/fused_mlp.py + tools/bench_pallas_crossover.py).
+#  - MONOLOCO_TPU_PRECISION=int8: the fused int8 Pallas kernel — int8 MXU
+#    matmuls (2x bf16 peak), in-kernel quantize/dequantize (activations never
+#    leave VMEM), half the streamed-weight DMA bytes. Measured 11.92M vs
+#    7.92M bf16-XLA same-session, 1.50x (tools/bench_pallas_int8.py,
+#    PARITY.md round-4), at ~1% relative decoded-distance deviation
+#    (tests/test_quant.py budget) — an OPT-IN fast path; bf16 XLA stays the
+#    parity-grade default. Only serving batches >= _INT8_MIN_ROWS route to
+#    the kernel; small per-image buckets keep exact XLA numerics.
+from ..utils.precision import INT8 as _INT8
+_INT8_MIN_ROWS = 1024
 
 
 def _mlp_forward(weights, inputs, arch):
     """Eval MLP. `weights` is Loco's container {'folded': params dict,
-    'packed': kernel tuple or absent} — packed once at init so the
-    per-dispatch stack/cast work is not repaid every call — or a bare folded
-    dict from direct callers."""
+    'packed_int8': int8 kernel weights when MONOLOCO_TPU_PRECISION=int8} —
+    packed once at init so quantization is not repaid per dispatch — or a
+    bare folded dict from direct callers."""
     if isinstance(weights, dict) and 'folded' in weights:
         folded = weights['folded']
-        packed = weights.get('packed')
-        if packed is not None and _pallas_serves(folded['l0']['w'].shape[1],
-                                                 inputs.shape[0]):
-            from ..ops import fused_loco_forward
-            return fused_loco_forward(None, inputs, packed=packed,
-                                      interpret=jax.default_backend() != 'tpu')
+        packed_q = weights.get('packed_int8')
+        if packed_q is not None and inputs.shape[0] >= _INT8_MIN_ROWS:
+            from ..ops import fused_loco_forward_int8
+            return fused_loco_forward_int8(
+                packed_q, inputs, interpret=jax.default_backend() != 'tpu')
         return folded_forward(folded, inputs, arch=arch)
-    if (_KERNEL_MODE == 'pallas' and arch == 'loco'
-            and weights['l0']['w'].shape[1] % 128 == 0):
-        from ..ops import fused_loco_forward
-        # Honor the f32 precision pin inside the kernel too (matmul-precision
-        # context managers do not reach Pallas).
-        return fused_loco_forward(weights, inputs,
-                                  dtype=jnp.float32 if _PIN_F32 else jnp.bfloat16,
-                                  interpret=jax.default_backend() != 'tpu')
     return folded_forward(weights, inputs, arch=arch)
 
 
@@ -171,19 +141,36 @@ class Loco:
         self.linear_size = linear_size = int(self.params['w1']['w'].shape[1])
         self.n_stage = int(self.params['stages']['w1']['w'].shape[0])
         self.folded = fold_eval_params(self.params, self.bn_state, arch=self.arch)
-        # Pallas route: pack (stack + cast) the kernel weight stack ONCE here
-        # rather than on every dispatch inside the jitted programs. The
-        # container carries both forms; _mlp_forward picks per compiled shape
-        # (auto mode uses the fused kernel only in its measured win regime).
+        # Int8 route (opt-in, see kernel-selection note above): quantize +
+        # pack the kernel weight stack ONCE here rather than on every
+        # dispatch; _mlp_forward picks per compiled shape.
         self.mlp_weights = {'folded': self.folded}
-        want_packed = (self.arch == 'loco' and linear_size % 128 == 0
-                       and (_KERNEL_MODE == 'pallas'
-                            or _auto_regime_hidden(linear_size)))
-        if want_packed:
-            from ..ops import pack_folded_weights
-            self.mlp_weights['packed'] = pack_folded_weights(
-                self.folded, dtype=jnp.float32 if _PIN_F32 else jnp.bfloat16)
+        if _INT8 and self.arch == 'loco' and linear_size % 128 == 0:
+            from ..ops import pack_folded_weights_int8
+            self.mlp_weights['packed_int8'] = pack_folded_weights_int8(
+                self.folded, self._int8_calibration())
         self._infer_cache = {}
+
+    def _int8_calibration(self):
+        """Representative preprocessed inputs for the int8 static activation
+        scales. Without real data at construction time, synthetic keypoints
+        under a KITTI-like camera (bench.py's scheme) cover the serving input
+        range; MONOLOCO_TPU_INT8_CALIB=<.npy of (n, in_dim) preprocessed
+        inputs> substitutes real calibration data."""
+        path = os.environ.get('MONOLOCO_TPU_INT8_CALIB')
+        if path:
+            return jnp.asarray(np.load(path), jnp.float32)
+        rng = np.random.RandomState(1)
+        kk = jnp.asarray([[718.3351, 0., 600.3891],
+                          [0., 718.3351, 181.5122], [0., 0., 1.]], jnp.float32)
+        in_dim = int(self.folded['l0']['w'].shape[0])
+        if in_dim == 68:
+            kps_l = jnp.asarray(rng.rand(64, 3, 17) * 300, jnp.float32)
+            kps_r = jnp.asarray(rng.rand(64, 3, 17) * 300, jnp.float32)
+            inputs, _ = preprocess_monstereo(kps_l, kps_r, kk)   # (4096, 68)
+            return inputs
+        kps = jnp.asarray(rng.rand(2048, 3, 17) * 300, jnp.float32)
+        return preprocess_monoloco(kps, kk)
 
     # ------------------------------------------------------------------
     # Jitted end-to-end device programs (cached per bucket)
@@ -580,6 +567,16 @@ class Loco:
                 dic_out['angles_egocentric'].append(float(yaw_orig[idx]))
                 if has_aux:
                     dic_out['aux'].append(float(np.asarray(dic_in['aux'][idx]).reshape(-1)[0]))
+                else:
+                    # Schema quirk replicated from the reference: its
+                    # defaultdict touches dic_out['aux'] before the KeyError
+                    # on dic_in['aux'] (net.py:236-240), so mono outputs
+                    # carry an empty "aux": [] — byte-compat goldens pin it.
+                    dic_out['aux']  # noqa: B018 — deliberate defaultdict touch
+            else:
+                # Same quirk for the legacy 2-output net: 'angles' is touched
+                # before the KeyError on dic_in['yaw'] (net.py:230-233).
+                dic_out['angles']  # noqa: B018 — deliberate defaultdict touch
 
         for idx, idx_gt in matches:
             dd_real = dds_gt[idx_gt]

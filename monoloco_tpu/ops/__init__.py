@@ -1,2 +1,7 @@
-from .fused_mlp import fused_loco_forward, pack_folded_weights
+from .fused_mlp import (
+    fused_loco_forward,
+    pack_folded_weights,
+    fused_loco_forward_int8,
+    pack_folded_weights_int8,
+)
 from .quant import quantize_folded, quantized_forward

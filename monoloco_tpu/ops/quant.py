@@ -1,15 +1,17 @@
-"""Int8 post-training quantization for the folded serving path.
+"""Int8 post-training quantization for the folded serving path (XLA route).
 
-Opt-in mode: TPU v5e's int8 MXU peak is 2x the bfloat16 peak. Measured on
-this serving workload (K^-1 normalize -> folded residual MLP hidden 1024 ->
-decode) it does NOT win: 9.22M inferences/sec vs 9.33M for bf16 — at this
-arithmetic intensity the pipeline is partly bound by the elementwise
-decode/normalize stages, and the activation quantize/dequantize conversions
-cost as much as the matmul saving. The implementation is kept (a) as the
-scaling path for larger trunks where matmuls dominate and (b) as a memory
-saver (4x smaller weights than f32). The reference has no counterpart (torch
-f32 only); enabled explicitly via `quantize_folded` or
-`MONOLOCO_TPU_PRECISION=int8` in bench.py.
+TPU v5e's int8 MXU peak is 2x the bfloat16 peak. THIS XLA route does not
+win end-to-end (round-3: 9.22M inferences/sec vs 9.33M bf16; round-4
+same-session: 9.20M vs 7.92M — at best parity-to-modest): the per-layer
+activation quantize/dequantize ops cost HBM round trips between matmuls.
+The FUSED Pallas kernel built on this module's calibration
+(ops/fused_mlp.py pack_folded_weights_int8 / _kernel_int8) removes exactly
+those costs — activations stay in VMEM, streamed weights halve their DMA
+bytes — and measures **11.92M vs 7.92M bf16-XLA same-session (1.50x)**; it
+is what `MONOLOCO_TPU_PRECISION=int8` serves (engine + bench.py). This XLA
+implementation remains as the calibration provider, the accuracy reference
+for the kernel, and the `int8-xla` bench ablation. The reference has no
+counterpart (torch f32 only).
 
 Scheme (standard symmetric PTQ):
  - weights: per-output-channel int8, scale = max|w| / 127 over each column;

@@ -14,49 +14,61 @@ REPO = os.path.dirname(HERE)
 JOINTS = os.path.join(HERE, 'fixture_joints-kitti-mono.json')
 
 
-def test_pallas_auto_policy(monkeypatch):
-    """Auto kernel selection follows the measured crossover regime (PARITY.md
-    round-3 table): fused kernel at 512<=hidden<=1024 and 1k-64k rows on a
-    real TPU; XLA for tiny buckets, huge batches, the 256 trunk, and any
-    non-TPU backend."""
+def test_int8_routing_policy(monkeypatch):
+    """MONOLOCO_TPU_PRECISION=int8 routes serving batches >= _INT8_MIN_ROWS
+    through the fused int8 kernel and keeps small per-image buckets on the
+    exact XLA path (engine.py kernel-selection note)."""
     import monoloco_tpu.network.engine as e
-    monkeypatch.setattr(e, '_KERNEL_MODE', 'auto')
-    monkeypatch.setattr(e.jax, 'default_backend', lambda: 'tpu')
-    assert e._pallas_serves(1024, 4096)         # image-stream serving: 2.24x
-    assert e._pallas_serves(1024, 65536)
-    assert e._pallas_serves(512, 1024)
-    assert not e._pallas_serves(1024, 16)       # per-image bucket
-    assert not e._pallas_serves(1024, 131072)   # XLA wins at 128k
-    assert not e._pallas_serves(256, 4096)      # legacy trunk
-    monkeypatch.setattr(e.jax, 'default_backend', lambda: 'cpu')
-    assert not e._pallas_serves(1024, 4096)     # auto never interprets on CPU
-    monkeypatch.setattr(e, '_KERNEL_MODE', 'pallas')
-    assert e._pallas_serves(256, 16)            # forced mode: always
-    monkeypatch.setattr(e, '_KERNEL_MODE', 'xla')
-    monkeypatch.setattr(e.jax, 'default_backend', lambda: 'tpu')
-    assert not e._pallas_serves(1024, 4096)
+    calls = []
+
+    def fake_int8(packed, inputs, interpret=False):
+        calls.append(inputs.shape[0])
+        return e.folded_forward(packed['folded'], inputs, arch='loco')
+
+    import monoloco_tpu.ops as ops
+    monkeypatch.setattr(ops, 'fused_loco_forward_int8', fake_int8)
+    import jax
+    import jax.numpy as jnp
+    from monoloco_tpu.models import init_loco_params, fold_eval_params
+    params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 128, 2)
+    folded = fold_eval_params(params, bn, arch='loco')
+    weights = {'folded': folded, 'packed_int8': {'folded': folded}}
+    x_small = jnp.zeros((16, 34))
+    x_big = jnp.zeros((e._INT8_MIN_ROWS, 34))
+    e._mlp_forward(weights, x_small, 'loco')
+    assert calls == []                       # small bucket: XLA path
+    e._mlp_forward(weights, x_big, 'loco')
+    assert calls == [e._INT8_MIN_ROWS]       # big batch: int8 kernel
+    # Without packed weights (default precision) nothing routes to the kernel.
+    e._mlp_forward({'folded': folded}, x_big, 'loco')
+    assert calls == [e._INT8_MIN_ROWS]
 
 
-def test_pallas_engine_routing():
-    """MONOLOCO_TPU_KERNEL=pallas serves through the fused kernel (interpret
-    mode off-TPU) and matches the XLA path within bf16 tolerance."""
+def test_int8_engine_routing():
+    """MONOLOCO_TPU_PRECISION=int8 builds packed int8 weights at Loco init
+    and a large forward_batch runs through the fused kernel (interpret mode
+    off-TPU), tracking the exact path within the quantization budget."""
     code = '''
 import numpy as np, jax
 import monoloco_tpu.network.engine as e
 from monoloco_tpu.models import init_loco_params
 params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 128, 2)
 net = e.Loco((params, bn), mode="mono")
+assert "packed_int8" in net.mlp_weights, "int8 weights not packed at init"
+assert net.mlp_weights["packed_int8"][2].dtype == jax.numpy.int8
 kps = np.random.RandomState(0).rand(3, 3, 17) * 300
 kk = [[718., 0., 600.], [0., 718., 180.], [0., 0., 1.]]
-d = net.forward(kps, kk)
-print("OK", d["d"].shape, e._KERNEL_MODE == "pallas", "packed" in net.mlp_weights)
+d = net.forward(kps, kk)                     # small bucket: exact path
+# 256 images x 8-bucket = 2048 rows >= _INT8_MIN_ROWS: kernel path.
+outs = net.forward_batch([kps[:1]] * 256, [kk] * 256)
+print("OK", d["d"].shape, len(outs))
 '''
     env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu',
-               MONOLOCO_TPU_KERNEL='pallas')
+               MONOLOCO_TPU_PRECISION='int8')
     res = subprocess.run([sys.executable, '-c', code], cwd=REPO, env=env,
                          capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, res.stdout + res.stderr
-    assert 'OK (3, 1) True True' in res.stdout
+    assert 'OK (3, 1) 256' in res.stdout
 
 
 def test_result_figures_render(tmp_path):
@@ -361,12 +373,12 @@ def test_evaluate_debug_stats(tmp_path, capsys):
     assert 'debug labels' in out
 
 
-def test_pallas_f32_pin_and_stereo_aux_idx():
-    """MONOLOCO_TPU_PRECISION=f32 + MONOLOCO_TPU_KERNEL=pallas: the packed
-    kernel weights honor the f32 pin (cast once at Loco init, not per call),
-    and the stereo forward exposes aux_idx for median_disparity."""
+def test_f32_pin_and_stereo_aux_idx():
+    """MONOLOCO_TPU_PRECISION=f32 pins the engine's matmul precision (shared
+    knob, utils/precision.py), and the stereo forward exposes aux_idx for
+    median_disparity."""
     env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu',
-               MONOLOCO_TPU_KERNEL='pallas', MONOLOCO_TPU_PRECISION='f32')
+               MONOLOCO_TPU_PRECISION='f32')
     prog = """
 import jax; jax.config.update('jax_platforms', 'cpu')
 import numpy as np
@@ -376,8 +388,7 @@ import monoloco_tpu.network.engine as e
 assert e._PIN_F32 and e._MATMUL_PRECISION == 'float32'
 params, bn = init_loco_params(jax.random.PRNGKey(0), 68, 10, 128, 2)
 net = Loco((params, bn), mode='stereo', linear_size=128, n_stage=2)
-assert 'packed' in net.mlp_weights
-assert net.mlp_weights['packed'][0].dtype == jax.numpy.float32
+assert 'packed_int8' not in net.mlp_weights    # int8 is its own opt-in
 kk = load_calibration('kitti', (1238, 374))
 rng = np.random.RandomState(0)
 mk = lambda n: [[list(rng.rand(17)*900), list(rng.rand(17)*300), list(rng.rand(17))]

@@ -46,3 +46,63 @@ def test_rejects_unaligned_hidden():
     x = jnp.zeros((8, 34))
     with pytest.raises(ValueError):
         fused_loco_forward(folded_u, x, interpret=True)
+
+
+class TestInt8Kernel:
+    """Int8 fused kernel (in-kernel quantize/dequantize, int8 MXU matmuls)."""
+
+    @pytest.fixture(scope='class')
+    def setup(self):
+        from monoloco_tpu.ops import pack_folded_weights_int8
+        params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 128, 3)
+        folded = fold_eval_params(params, bn)
+        calib = jax.random.normal(jax.random.PRNGKey(9), (512, 34))
+        packed = pack_folded_weights_int8(folded, calib)
+        return folded, packed, calib
+
+    def test_packed_layout(self, setup):
+        _, packed, _ = setup
+        w0, b0, wq, inv_in, oscale, bstack, waux, baux, wfin, bfin = packed
+        assert wq.dtype == jnp.int8 and wq.shape == (8, 128, 128)
+        assert inv_in.shape == (8,) and oscale.shape == (8, 128)
+        assert bstack.shape == (8, 128)
+        assert w0.dtype == jnp.bfloat16 and wfin.shape == (128, 8)
+
+    def test_tracks_f32_within_quant_tolerance(self, setup):
+        """Same accuracy budget as the XLA int8 path (tests above): decoded
+        raw outputs within a few percent of f32 on in-calibration data."""
+        from monoloco_tpu.ops import fused_loco_forward_int8
+        folded, packed, calib = setup
+        x = calib[:256]
+        ref = np.asarray(folded_forward(folded, x))
+        out = np.asarray(fused_loco_forward_int8(packed, x, tile=128,
+                                                 interpret=True))
+        assert out.shape == ref.shape
+        rel = np.abs(out - ref) / np.maximum(np.abs(ref), 0.5)
+        assert rel.mean() < 0.05, rel.mean()
+
+    def test_matches_xla_int8_streamed_semantics(self, setup):
+        """The kernel's streamed matmuls quantize with the SAME scales as the
+        XLA int8 path; residual stream in f32. Differences vs quantized_forward
+        come only from l0/heads kept bf16 in-kernel — small and bounded."""
+        from monoloco_tpu.ops import fused_loco_forward_int8
+        from monoloco_tpu.ops.quant import quantize_folded, quantized_forward
+        folded, packed, calib = setup
+        x = calib[:128]
+        q = quantize_folded(folded, calib)
+        ref_q = np.asarray(quantized_forward(q, x))
+        out = np.asarray(fused_loco_forward_int8(packed, x, tile=128,
+                                                 interpret=True))
+        rel = np.abs(out - ref_q) / np.maximum(np.abs(ref_q), 0.5)
+        assert rel.mean() < 0.03, rel.mean()
+
+    def test_ragged_batch_padding(self, setup):
+        from monoloco_tpu.ops import fused_loco_forward_int8
+        folded, packed, calib = setup
+        out = fused_loco_forward_int8(packed, calib[:77], tile=128,
+                                      interpret=True)
+        full = fused_loco_forward_int8(packed, calib[:128], tile=128,
+                                       interpret=True)
+        assert out.shape == (77, 9)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full)[:77],
+                                   atol=1e-5)

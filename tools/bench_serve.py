@@ -31,6 +31,68 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 KK = [[718.3351, 0.0, 600.3891], [0.0, 718.3351, 181.5122], [0.0, 0.0, 1.0]]
 
 
+def run_sweep(args, port, body, server):
+    """Open-loop offered-load sweep: fire requests at a fixed arrival rate
+    (independent of completions) for --duration seconds per level. Below
+    capacity, latency stays near the batch window; past capacity the bounded
+    queue sheds with 503 and the p99 of ACCEPTED requests stays bounded —
+    the load curve recorded in PARITY.md (VERDICT r3 item 3)."""
+    import urllib.error
+
+    def post_once(results, lock):
+        t1 = time.perf_counter()
+        code = 200
+        try:
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/v1/predict', data=body,
+                headers={'Content-Type': 'application/json'})
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                json.loads(resp.read())
+        except urllib.error.HTTPError as exc:
+            code = exc.code
+        except Exception:  # noqa: BLE001 — count transport errors as 599
+            code = 599
+        with lock:
+            results.append((code, time.perf_counter() - t1))
+
+    MAX_FIRED = 3000          # bounds thread count at high offered rates
+    for rps in (float(x) for x in args.sweep.split(',')):
+        results, lock = [], threading.Lock()
+        threads = []
+        interval = 1.0 / rps
+        t0 = time.perf_counter()
+        n_fired = 0
+        while (time.perf_counter() - t0 < args.duration
+               and n_fired < MAX_FIRED):
+            target = t0 + n_fired * interval
+            delay = target - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+            th = threading.Thread(target=post_once, args=(results, lock))
+            th.start()
+            threads.append(th)
+            n_fired += 1
+        for th in threads:
+            th.join(timeout=180)
+        ok = sorted(dt for code, dt in results if code == 200)
+        shed = sum(1 for code, _ in results if code == 503)
+        other = sum(1 for code, _ in results if code not in (200, 503))
+        wall = time.perf_counter() - t0
+        rec = {
+            'offered_rps': rps,
+            'achieved_rps': round(len(ok) / wall, 1),
+            'fired': n_fired, 'ok': len(ok), 'shed_503': shed,
+            'other_errors': other,
+        }
+        if ok:
+            n = len(ok)
+            rec['latency_ms'] = {
+                'p50': round(ok[n // 2] * 1e3, 2),
+                'p90': round(ok[int(0.9 * (n - 1))] * 1e3, 2),
+                'p99': round(ok[int(0.99 * (n - 1))] * 1e3, 2)}
+        print(json.dumps(rec), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--model', default=None,
@@ -41,6 +103,15 @@ def main():
                     help='detections per request image')
     ap.add_argument('--window-ms', type=float, default=2.0)
     ap.add_argument('--max-batch', type=int, default=64)
+    ap.add_argument('--max-queue', type=int, default=None,
+                    help='bounded queue depth (default 8 * max_batch)')
+    ap.add_argument('--sweep', default=None,
+                    help='comma list of offered req/s: run an OPEN-LOOP '
+                         'load sweep (fixed arrival rate, not closed-loop) '
+                         'and report p50/p99 + shed (503) counts per level — '
+                         'the backpressure curve for PARITY.md')
+    ap.add_argument('--duration', type=float, default=10.0,
+                    help='seconds per sweep level')
     args = ap.parse_args()
 
     from monoloco_tpu.utils import enable_compilation_cache
@@ -58,7 +129,7 @@ def main():
         params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 1024, 3)
         net = Loco((params, bn), mode='mono')
     server = Server(net, port=0, window_ms=args.window_ms,
-                    max_batch=args.max_batch)
+                    max_batch=args.max_batch, max_queue=args.max_queue)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     port = server.port
 
@@ -84,6 +155,11 @@ def main():
         t.join()
     post()
     print(f'warmup done in {time.time() - t0:.1f}s', flush=True)
+
+    if args.sweep:
+        run_sweep(args, port, body, server)
+        server.shutdown()
+        return
 
     lat = []
     lock = threading.Lock()

@@ -86,8 +86,53 @@ def make_person(x, z, rng, cam_shift=0.0):
     return flat, bbox, dict(box=gt_box, xyz=(x, y_center + 0.85, z))
 
 
-def _write_files(root, name, gt_lines, anns_l, anns_r):
-    """Write one scene's gt txt, calibration, image, and both pifpaf jsons."""
+def identity_texture(identity, h, w, noise_rng=None):
+    """Deterministic per-identity appearance: a base color + striped clothing
+    pattern, the visual signature a ReID embedding can learn. The SAME
+    identity renders the same texture in the left and right camera (up to
+    sensor noise), which is exactly the stereo-association signal
+    (reference eval/reid_baseline.py crops)."""
+    id_rng = np.random.RandomState(identity * 7919 + 13)
+    base = id_rng.randint(40, 220, size=3)
+    stripe = id_rng.randint(40, 220, size=3)
+    period = id_rng.randint(6, 20)
+    phase = id_rng.randint(0, period)
+    vertical = id_rng.rand() < 0.5
+    h, w = max(int(h), 1), max(int(w), 1)
+    yy, xx = np.mgrid[0:h, 0:w]
+    coord = xx if vertical else yy
+    mask = ((coord + phase) // (period // 2 + 1)) % 2 == 0
+    tex = np.where(mask[:, :, None], base[None, None, :], stripe[None, None, :])
+    tex = tex.astype(np.float32)
+    if noise_rng is not None:
+        tex += noise_rng.randn(h, w, 3) * 6.0
+    return np.clip(tex, 0, 255).astype(np.uint8)
+
+
+def _render_scene_image(persons, rng):
+    """persons: list of (box_xyxy, identity, z); drawn far-to-near so closer
+    people occlude. Returns an (IM_H, IM_W, 3) uint8 array."""
+    canvas = np.full((IM_H, IM_W, 3), 90, np.uint8)
+    for box, identity, _z in sorted(persons, key=lambda p: -p[2]):
+        x1 = int(max(0, min(IM_W - 1, box[0])))
+        y1 = int(max(0, min(IM_H - 1, box[1])))
+        x2 = int(max(0, min(IM_W, box[2])))
+        y2 = int(max(0, min(IM_H, box[3])))
+        if x2 - x1 < 1 or y2 - y1 < 1:
+            continue
+        canvas[y1:y2, x1:x2] = identity_texture(identity, y2 - y1, x2 - x1,
+                                                noise_rng=rng)
+    return canvas
+
+
+def _write_files(root, name, gt_lines, anns_l, anns_r,
+                 persons_l=None, persons_r=None, rng=None):
+    """Write one scene's gt txt, calibration, image(s), and both pifpaf jsons.
+
+    With persons_l/persons_r (lists of (box, identity, z)), the left AND
+    right camera images render identity-consistent person textures (and the
+    right image lands in data/kitti/images_r, where GenerateKitti's ReID
+    baseline crops from); otherwise the left image is flat gray."""
     gt_dir = os.path.join(root, 'data', 'kitti', 'gt')
     calib_dir = os.path.join(root, 'data', 'kitti', 'calib')
     im_dir = os.path.join(root, 'data', 'kitti', 'images')
@@ -103,8 +148,16 @@ def _write_files(root, name, gt_lines, anns_l, anns_r):
         f.write("P0: 1 0 0 0 0 1 0 0 0 0 1 0\nP1: 1 0 0 0 0 1 0 0 0 0 1 0\n")
         f.write(p2)
         f.write(p3)
-    Image.new('RGB', (IM_W, IM_H), (90, 90, 90)).save(
-        os.path.join(im_dir, name + '.png'))
+    if persons_l is not None:
+        Image.fromarray(_render_scene_image(persons_l, rng)).save(
+            os.path.join(im_dir, name + '.png'))
+        im_dir_r = os.path.join(root, 'data', 'kitti', 'images_r')
+        os.makedirs(im_dir_r, exist_ok=True)
+        Image.fromarray(_render_scene_image(persons_r, rng)).save(
+            os.path.join(im_dir_r, name + '.png'))
+    else:
+        Image.new('RGB', (IM_W, IM_H), (90, 90, 90)).save(
+            os.path.join(im_dir, name + '.png'))
     with open(os.path.join(ann_dir, name + '.png.predictions.json'), 'w') as f:
         json.dump(anns_l, f)
     with open(os.path.join(ann_dir_r, name + '.png.predictions.json'), 'w') as f:
@@ -115,9 +168,16 @@ def write_scene(root, idx, people, rng):
     """people: list of (x, z, ry)."""
     name = str(idx).zfill(6)
     gt_lines, anns_l, anns_r = [], [], []
-    for (x, z, ry) in people:
+    persons_l, persons_r = [], []
+    for pi, (x, z, ry) in enumerate(people):
         flat_l, bbox_l, gt = make_person(x, z, rng, cam_shift=0.0)
         flat_r, bbox_r, _ = make_person(x, z, rng, cam_shift=BASELINE)
+        # Identity-consistent L/R appearance for the ReID baseline: unique
+        # per (scene, person), identical texture in both cameras.
+        identity = idx * 100 + pi
+        to_xyxy = lambda b: [b[0], b[1], b[0] + b[2], b[1] + b[3]]
+        persons_l.append((to_xyxy(bbox_l), identity, z))
+        persons_r.append((to_xyxy(bbox_r), identity, z))
         gx, gy, gz = gt['xyz']
         alpha = ry - math.atan2(gx, gz)
         if alpha > math.pi:
@@ -136,7 +196,8 @@ def write_scene(root, idx, people, rng):
                        'score': round(0.7 + 0.25 * rng.rand(), 3),
                        'category_id': 1})
 
-    _write_files(root, name, gt_lines, anns_l, anns_r)
+    _write_files(root, name, gt_lines, anns_l, anns_r,
+                 persons_l=persons_l, persons_r=persons_r, rng=rng)
     return name
 
 
