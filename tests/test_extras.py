@@ -373,6 +373,33 @@ def test_evaluate_debug_stats(tmp_path, capsys):
     assert 'debug labels' in out
 
 
+def test_trainer_honors_precision_env():
+    """MONOLOCO_TPU_PRECISION=float32 must reach the TRAINER's jitted
+    programs too (round-3 gap: it was inference-only), so f32-pinned
+    head-to-head legs measure what they claim. Smoke: a 2-epoch train under
+    the env runs and the wrapper is active."""
+    code = '''
+import argparse, os
+import monoloco_tpu.utils.precision as p
+assert p.MATMUL_PRECISION == "float32" and p.PIN_F32
+from monoloco_tpu.train import Trainer
+args = argparse.Namespace(
+    joints="tests/fixture_joints-kitti-mono.json", mode="mono", out=None,
+    epochs=2, bs=64, dropout=0.2, lr=0.002, sched_step=30, sched_gamma=0.98,
+    hidden_size=64, n_stage=2, r_seed=1, auto_tune_mtl=False, no_save=True,
+    print_loss=False)
+t = Trainer(args)
+t.train()
+print("F32 TRAIN OK")
+'''
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu',
+               MONOLOCO_TPU_PRECISION='float32')
+    res = subprocess.run([sys.executable, '-c', code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert 'F32 TRAIN OK' in res.stdout
+
+
 def test_f32_pin_and_stereo_aux_idx():
     """MONOLOCO_TPU_PRECISION=f32 pins the engine's matmul precision (shared
     knob, utils/precision.py), and the stereo forward exposes aux_idx for

@@ -374,7 +374,11 @@ class TestGenerateWithBaselines:
 
         make_dataset(str(tmp_path), n_train=6, n_val=3, seed=33)
         monkeypatch.chdir(tmp_path)
-        shutil.copytree('data/kitti/images', 'data/kitti/images_r')
+        # The generator now writes identity-textured right-camera images
+        # itself; fall back to duplicating the left images only for datasets
+        # predating that.
+        if not os.path.isdir('data/kitti/images_r'):
+            shutil.copytree('data/kitti/images', 'data/kitti/images_r')
         prep = PreprocessKitti(dir_ann='annotations', mode='stereo', iou_min=0.3)
         path_joints, _ = prep.run()
         targs = argparse.Namespace(

@@ -144,6 +144,22 @@ def main():
         with urllib.request.urlopen(req, timeout=600) as resp:
             json.loads(resp.read())
 
+    if args.sweep:
+        # Pre-compile EVERY power-of-two batch bucket the open-loop load can
+        # hit — a lazy bucket compile mid-level costs seconds through the
+        # remote-compile tunnel and poisons that level's latency numbers.
+        # (The closed-loop HTTP warmup below is skipped: at small
+        # --max-queue it would itself be shed with 503s.)
+        print('warming all batch buckets...', flush=True)
+        b = 1
+        while b <= args.max_batch:
+            kps1 = np.zeros((args.dets, 3, 17), np.float32)
+            net.forward_batch([kps1] * b, [np.asarray(KK, np.float32)] * b)
+            b *= 2
+        run_sweep(args, port, body, server)
+        server.shutdown()
+        return
+
     # Warm every batch bucket the load can hit (1..max_batch caps at the
     # bucket granularity; one full-batch warmup covers the largest).
     print('warming up (compiling serve buckets)...', flush=True)
@@ -155,11 +171,6 @@ def main():
         t.join()
     post()
     print(f'warmup done in {time.time() - t0:.1f}s', flush=True)
-
-    if args.sweep:
-        run_sweep(args, port, body, server)
-        server.shutdown()
-        return
 
     lat = []
     lock = threading.Lock()
