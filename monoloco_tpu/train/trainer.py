@@ -276,7 +276,11 @@ class Trainer:
             name = 'monoloco_pp' if self.mode == 'mono' else 'monstereo'
             now_time = datetime.datetime.now().strftime("%Y%m%d-%H%M")[2:]
             self.path_out = os.path.join(dir_out, name + '-' + now_time + '.pkl')
-        assert os.path.exists(dir_out) or not dir_out, "Directory to save the model not found"
+        # With --no_save nothing is ever written, so a missing default output
+        # directory must not block training (reference asserts unconditionally
+        # because it always saves: /root/reference/monoloco/train/trainer.py:68).
+        assert self.no_save or os.path.exists(dir_out) or not dir_out, \
+            "Directory to save the model not found"
         print(self.path_out)
 
         self.tasks = LOSS_TASKS_MONO if self.mode == 'mono' else LOSS_TASKS_STEREO
