@@ -40,7 +40,7 @@ def _require_live_backend(timeout_s):
     from monoloco_tpu.utils.backend import require_live_backend
     require_live_backend(timeout_s, context='bench')
 # 'bf16' (default, reported metric), 'f32', 'int8' (opt-in quantized serving:
-# the fused int8 Pallas kernel, measured 1.50x bf16-XLA same-session at ~0.8%
+# the fused int8 Pallas kernel, measured 1.33x bf16-XLA same-session at ~0.8%
 # mean decoded-distance deviation — PARITY.md round-4, ops/fused_mlp.py), or
 # 'int8-xla' (the XLA int8 ablation, ops/quant.py — loses to the kernel).
 PRECISION = os.environ.get('MONOLOCO_TPU_PRECISION', 'bf16')

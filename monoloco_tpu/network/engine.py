@@ -53,13 +53,14 @@ LINEAR_SIZE_MONO = 256
 # Serving kernel selection (settled by end-to-end measurement on v5e-1):
 #  - default / float32: the XLA-fused folded MLP. The bf16 Pallas kernel wins
 #    the isolated-MLP microbenchmark (2.24x at 1024x4096) but LOSES inside
-#    the full serving program (7.29M vs 7.92M same-session; splitting at the
-#    pallas_call boundary costs more than it saves) — it lives on as an
-#    ablation only (ops/fused_mlp.py + tools/bench_pallas_crossover.py).
+#    the full serving program (7.29M vs 9.36M fair-control same-session;
+#    splitting at the pallas_call boundary costs more than it saves) — it
+#    lives on as an ablation only (ops/fused_mlp.py +
+#    tools/bench_pallas_crossover.py).
 #  - MONOLOCO_TPU_PRECISION=int8: the fused int8 Pallas kernel — int8 MXU
 #    matmuls (2x bf16 peak), in-kernel quantize/dequantize (activations never
-#    leave VMEM), half the streamed-weight DMA bytes. Measured 11.92M vs
-#    7.92M bf16-XLA same-session, 1.50x (tools/bench_pallas_int8.py,
+#    leave VMEM), half the streamed-weight DMA bytes. Measured 12.47M vs
+#    9.36M bf16-XLA same-session, 1.33x (tools/bench_pallas_int8.py,
 #    PARITY.md round-4), at ~1% relative decoded-distance deviation
 #    (tests/test_quant.py budget) — an OPT-IN fast path; bf16 XLA stays the
 #    parity-grade default. Only serving batches >= _INT8_MIN_ROWS route to

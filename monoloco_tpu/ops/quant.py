@@ -2,12 +2,12 @@
 
 TPU v5e's int8 MXU peak is 2x the bfloat16 peak. THIS XLA route does not
 win end-to-end (round-3: 9.22M inferences/sec vs 9.33M bf16; round-4
-same-session: 9.20M vs 7.92M — at best parity-to-modest): the per-layer
+fair-control same-session: 9.20M vs 9.36M — a slight loss): the per-layer
 activation quantize/dequantize ops cost HBM round trips between matmuls.
 The FUSED Pallas kernel built on this module's calibration
 (ops/fused_mlp.py pack_folded_weights_int8 / _kernel_int8) removes exactly
 those costs — activations stay in VMEM, streamed weights halve their DMA
-bytes — and measures **11.92M vs 7.92M bf16-XLA same-session (1.50x)**; it
+bytes — and measures **12.47M vs 9.36M bf16-XLA same-session (1.33x)**; it
 is what `MONOLOCO_TPU_PRECISION=int8` serves (engine + bench.py). This XLA
 implementation remains as the calibration provider, the accuracy reference
 for the kernel, and the `int8-xla` bench ablation. The reference has no

@@ -81,7 +81,12 @@ class Batcher:
         self.window_s = window_ms / 1e3
         self.max_batch = max_batch
         self.max_queue = max_queue if max_queue is not None else 8 * max_batch
+        # queue.Queue(maxsize<=0) means UNBOUNDED in Python — exactly the
+        # failure mode the bounded queue exists to prevent. Refuse it.
+        if self.max_queue < 1:
+            raise ValueError(f"max_queue must be >= 1, got {self.max_queue}")
         self._queue = queue.Queue(maxsize=self.max_queue)
+        self._shed_lock = threading.Lock()
         self._stop = threading.Event()
         # metrics
         self.n_requests = 0
@@ -99,7 +104,11 @@ class Batcher:
         try:
             self._queue.put_nowait(req)
         except queue.Full:
-            self.n_shed += 1
+            # += on an attribute is a non-atomic read-modify-write; concurrent
+            # handler threads would lose increments and /metrics 'shed' would
+            # disagree with the number of 503s returned.
+            with self._shed_lock:
+                self.n_shed += 1
             return None
         # Close the submit/stop race: a request enqueued concurrently with
         # the drain loop would otherwise be neither dispatched nor failed and

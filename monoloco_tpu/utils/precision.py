@@ -20,10 +20,10 @@ import os
 
 _RAW = os.environ.get('MONOLOCO_TPU_PRECISION', 'default')
 MATMUL_PRECISION = {'f32': 'float32', 'fp32': 'float32', 'bf16': 'bfloat16',
-                    'int8': 'default'}.get(_RAW, _RAW)
+                    'int8': 'default', 'int8-xla': 'default'}.get(_RAW, _RAW)
 PIN_F32 = MATMUL_PRECISION in ('float32', 'highest')
 # int8 selects the fused Pallas serving kernel (int8 MXU matmuls with
-# in-kernel quantize/dequantize, ops/fused_mlp.py) — measured 1.5x the bf16
+# in-kernel quantize/dequantize, ops/fused_mlp.py) — measured 1.33x the bf16
 # XLA path end-to-end on TPU v5e-1 (PARITY.md round-4 study) at ~1% relative
 # decoded-distance deviation. Opt-in: bf16 XLA stays the parity-grade default.
 INT8 = _RAW == 'int8'

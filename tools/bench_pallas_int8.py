@@ -41,9 +41,16 @@ def build_serve(variant, folded, q, packed_bf16, packed_int8):
     from monoloco_tpu.ops import fused_loco_forward, fused_loco_forward_int8
     from monoloco_tpu.ops.quant import quantized_forward
 
+    # Fair baseline: the production bf16 path (bench.py) casts the WEIGHTS to
+    # bfloat16 too — bf16 activations against f32 weights promote to f32 and
+    # stream 4 bytes/weight, which would handicap the baseline and inflate the
+    # kernel's apparent win.
+    folded_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), folded)
+
     def mlp(inputs):
         if variant == 'xla-bf16':
-            return folded_forward(folded, inputs.astype(jnp.bfloat16),
+            return folded_forward(folded_bf16, inputs.astype(jnp.bfloat16),
                                   arch='loco').astype(jnp.float32)
         if variant == 'xla-int8':
             return quantized_forward(q, inputs)

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 KK = [[718.3351, 0.0, 600.3891], [0.0, 718.3351, 181.5122], [0.0, 0.0, 1.0]]
 
 
-def run_sweep(args, port, body, server):
+def run_sweep(args, port, body):
     """Open-loop offered-load sweep: fire requests at a fixed arrival rate
     (independent of completions) for --duration seconds per level. Below
     capacity, latency stays near the batch window; past capacity the bounded
@@ -151,12 +151,18 @@ def main():
         # (The closed-loop HTTP warmup below is skipped: at small
         # --max-queue it would itself be shed with 503s.)
         print('warming all batch buckets...', flush=True)
+        kps1 = np.zeros((args.dets, 3, 17), np.float32)
         b = 1
         while b <= args.max_batch:
-            kps1 = np.zeros((args.dets, 3, 17), np.float32)
             net.forward_batch([kps1] * b, [np.asarray(KK, np.float32)] * b)
             b *= 2
-        run_sweep(args, port, body, server)
+        if b // 2 != args.max_batch:
+            # Non-power-of-two --max-batch: the collator can form batches up
+            # to max_batch, which the engine rounds up to the NEXT bucket —
+            # warm it too or its lazy compile poisons one sweep level.
+            net.forward_batch([kps1] * args.max_batch,
+                              [np.asarray(KK, np.float32)] * args.max_batch)
+        run_sweep(args, port, body)
         server.shutdown()
         return
 
