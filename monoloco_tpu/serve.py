@@ -188,11 +188,17 @@ def make_handler(batcher, net, timeout_s=60.0):
 
         def _reply(self, code, payload):
             body = json.dumps(payload).encode()
-            self.send_response(code)
-            self.send_header('Content-Type', 'application/json')
-            self.send_header('Content-Length', str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            try:
+                self.send_response(code)
+                self.send_header('Content-Type', 'application/json')
+                self.send_header('Content-Length', str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except (BrokenPipeError, ConnectionResetError):
+                # The client hung up mid-response — routine under overload
+                # (timed-out clients close their sockets), not a server
+                # error; don't let socketserver spew a traceback per drop.
+                self.close_connection = True
 
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path == '/healthz':
@@ -321,6 +327,11 @@ def main(argv=None):
                              'shed with 503 (default 8 * max_batch)')
     parser.add_argument('--n-dropout', type=int, default=0,
                         help='MC-dropout samples for epistemic uncertainty')
+    parser.add_argument('--dp_devices', type=int, default=1,
+                        help='shard each coalesced batch over an N-device '
+                             'data-parallel mesh (image axis over the '
+                             '\'data\' axis, same SPMD path as '
+                             'eval --generate --dp_devices)')
     args = parser.parse_args(argv)
 
     from .utils import enable_compilation_cache
@@ -328,17 +339,28 @@ def main(argv=None):
     require_live_backend(context='serve')
     enable_compilation_cache()
     from .network import Loco
+    mesh = None
+    if args.dp_devices > 1:
+        import jax
+        from .parallel import make_mesh
+        devices = jax.devices()
+        if len(devices) < args.dp_devices:
+            raise SystemExit(
+                f"--dp_devices {args.dp_devices} requested but only "
+                f"{len(devices)} devices are available")
+        mesh = make_mesh(devices[:args.dp_devices])
     net = Loco(model=args.model, mode=args.mode, net=args.net,
-               n_dropout=args.n_dropout)
+               n_dropout=args.n_dropout, mesh=mesh)
     server = Server(net, host=args.host, port=args.port,
                     window_ms=args.window_ms, max_batch=args.max_batch,
                     max_queue=args.max_queue)
     print(f'warming up (compiling the single-image bucket)...', flush=True)
     server.warmup()
+    dp_note = f', dp{args.dp_devices} mesh' if mesh is not None else ''
     print(f'serving {net.net} (hidden {net.linear_size}) on '
           f'http://{args.host}:{server.port}  '
-          f'[window {args.window_ms} ms, max batch {args.max_batch}]',
-          flush=True)
+          f'[window {args.window_ms} ms, max batch {args.max_batch}'
+          f'{dp_note}]', flush=True)
     import signal
     # httpd.shutdown() blocks until serve_forever's loop exits; the handler
     # runs ON the main thread that loop is suspended under, so it must hand

@@ -138,6 +138,74 @@ def test_stop_drains_pending_requests():
     assert req.error == 'server shutting down'
 
 
+def test_mesh_sharded_server_matches_unsharded():
+    """--dp_devices serving: the coalesced batch shards its image axis over
+    the mesh's 'data' axis (same SPMD path as sharded generation) and must
+    return the same outputs as single-device serving."""
+    from monoloco_tpu.parallel import make_mesh
+    params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 64, 2)
+    rng = np.random.RandomState(3)
+    payload = {'keypoints': (rng.rand(4, 3, 17) * 200).tolist(), 'kk': KK}
+    outs = []
+    for mesh in (None, make_mesh(jax.devices()[:8])):
+        net = Loco((params, bn), mode='mono', linear_size=64, n_stage=2,
+                   mesh=mesh)
+        srv = Server(net, port=0, window_ms=1.0, max_batch=8)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            outs.append(_post(srv.port, payload, timeout=120))
+        finally:
+            srv.shutdown()
+    single, sharded = outs
+    np.testing.assert_allclose(np.asarray(sharded['outputs']['xyzd']),
+                               np.asarray(single['outputs']['xyzd']),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded['outputs']['bi']),
+                               np.asarray(single['outputs']['bi']),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_serve_cli_dp_devices_flag():
+    """main() builds the mesh from --dp_devices and refuses impossible
+    device counts with a clear error."""
+    from monoloco_tpu import serve as serve_mod
+    with pytest.raises(SystemExit, match='devices are available'):
+        serve_mod.main(['--model', 'unused.pkl', '--dp_devices', '4096'])
+
+
+def test_non_positive_max_queue_rejected():
+    """queue.Queue(maxsize<=0) silently means UNBOUNDED — the exact failure
+    mode backpressure exists to prevent — so the Batcher must refuse it."""
+    from monoloco_tpu.serve import Batcher
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match='max_queue'):
+            Batcher(net=None, max_queue=bad)
+
+
+def test_shed_counter_is_thread_safe():
+    """Concurrent queue-full submits must not lose shed increments (the
+    counter is a locked read-modify-write, not a bare +=)."""
+    from monoloco_tpu.serve import Batcher
+    batcher = Batcher(net=None, max_queue=1)
+    batcher._stop.set()                  # collator idle: queue stays full
+    batcher._thread.join(timeout=5)
+    batcher._queue.put_nowait(object())  # pre-fill so every submit sheds
+    n_threads, per_thread = 8, 50
+    kps = np.zeros((1, 3, 17), np.float32)
+    kk = np.eye(3, dtype=np.float32)
+
+    def shed_many():
+        for _ in range(per_thread):
+            assert batcher.submit(kps, kk) is None
+
+    threads = [threading.Thread(target=shed_many) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert batcher.n_shed == n_threads * per_thread
+
+
 class _SlowNet:
     """Dispatch-compatible stub whose forward takes `delay_s` per batch —
     lets the overload test saturate the server without a slow real model."""
@@ -211,7 +279,23 @@ def test_overload_503_carries_retry_after():
         for t in fire:
             t.start()
         import time
-        time.sleep(0.3)        # let the first two requests enqueue/dispatch
+        # Wait until BOTH saturating requests are actually in (one in
+        # dispatch, one filling the depth-1 queue) — a fixed sleep races on a
+        # contended host and lets the probe request take the queue slot.
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            m = _get(srv.port, '/metrics')
+            # queue_depth 1 is sufficient: with max_queue=1 and a 10 s
+            # forward, one saturating request holds the single queue slot
+            # (the other is either in dispatch or was itself shed), so the
+            # probe below must hit queue.Full. ('requests' only increments
+            # when a batch COMPLETES — it stays 0 for the whole 10 s
+            # dispatch, so it cannot be part of this condition.)
+            if m.get('queue_depth', 0) >= 1:
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError(f'saturating requests never landed: {m}')
         with pytest.raises(urllib.error.HTTPError) as exc:
             _post(srv.port, {'keypoints': _keypoints(1, seed=9), 'kk': KK},
                   timeout=5)
