@@ -1,0 +1,185 @@
+"""Does int8 serving stay parity-grade on the END metric (ALE/ALP)?
+
+The int8 fused kernel's accuracy budget has so far been stated as a decode
+deviation (~0.8% mean distance vs bf16 on a trained checkpoint —
+tests/test_fused_mlp.py). The north-star parity window, however, is ALE/ALP
+after the full eval pipeline (reference eval/eval_kitti.py:31-33). This tool
+measures that directly: ONE trained checkpoint, the adversarial synthetic
+KITTI-volume dataset (same generator/seed as the head-to-head study),
+GenerateKitti + EvalKitti run twice — once bf16 (default serving path), once
+MONOLOCO_TPU_PRECISION=int8 (fused kernel; generation batches whole-image
+chunks, so row counts exceed the >=1024 kernel threshold) — plus a row-wise
+diff of the two txt trees (same detections, same order, so per-row distance
+deltas isolate serving quantization exactly).
+
+MONOLOCO_TPU_PRECISION is read at import, so each leg is a fresh subprocess.
+
+Usage: python tools/int8_eval_parity.py [root=/tmp/int8_parity]
+Env: IP_NTRAIN/IP_NVAL (default 2400/2400), IP_SEED (default 1),
+     IP_EPOCHS (default 500).
+Appends one JSON record to tools/int8_eval_parity_r4.jsonl (next to this
+file) and prints it.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, 'tools'))
+sys.path.insert(0, REPO)
+
+NTRAIN = int(os.environ.get('IP_NTRAIN', '2400'))
+NVAL = int(os.environ.get('IP_NVAL', '2400'))
+SEED = int(os.environ.get('IP_SEED', '1'))
+EPOCHS = int(os.environ.get('IP_EPOCHS', '500'))
+RESULTS = os.path.join(REPO, 'tools', 'int8_eval_parity_r4.jsonl')
+
+
+# --------------------------------------------------------------------------
+# Stages (each runs as its own subprocess; see module docstring)
+# --------------------------------------------------------------------------
+
+def stage_setup(root):
+    os.environ['H2H_HARD'] = '1'
+    os.environ['H2H_NTRAIN'] = str(NTRAIN)
+    os.environ['H2H_NVAL'] = str(NVAL)
+    import head_to_head as h2h
+    h2h.N_TRAIN, h2h.N_VAL, h2h.HARD = NTRAIN, NVAL, True
+    h2h.make_root(root, 'mono')
+    os.chdir(root)
+    from monoloco_tpu.prep import PreprocessKitti
+    path_joints, _ = PreprocessKitti(dir_ann='annotations', mode='mono',
+                                     iou_min=0.3).run()
+    print('JOINTS=' + path_joints, flush=True)
+
+
+def stage_train(root, joints):
+    os.chdir(root)
+    from monoloco_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    import head_to_head as h2h
+    from monoloco_tpu.train import Trainer
+    args = h2h.train_args('mono', SEED, joints, 'data/outputs/int8p.pkl')
+    args.epochs = EPOCHS
+    trainer = Trainer(args)
+    trainer.train()
+    trainer.evaluate()          # the checkpoint is written here, not in train()
+    print('TRAIN DONE', flush=True)
+
+
+def stage_geneval(root, out_json):
+    os.chdir(root)
+    from monoloco_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    import head_to_head as h2h
+    from monoloco_tpu.eval import GenerateKitti, EvalKitti
+    args = h2h.eval_args('mono', 'data/outputs/int8p.pkl')
+    GenerateKitti(args).run()
+    ev = EvalKitti(args)
+    ev.dic_thresh_conf['monoloco_pp'] = -100
+    ev.run()
+    from monoloco_tpu.utils.precision import INT8
+    rec = h2h.extract_metrics(ev, 'monoloco_pp')
+    rec['int8'] = INT8
+    with open(out_json, 'w') as f:
+        json.dump(rec, f)
+    print('GENEVAL DONE', flush=True)
+
+
+# --------------------------------------------------------------------------
+# Driver
+# --------------------------------------------------------------------------
+
+def _run_stage(stage, *argv, env_extra=None):
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    cmd = [sys.executable, os.path.abspath(__file__), '--stage', stage] + \
+        [str(a) for a in argv]
+    res = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    sys.stdout.write(res.stdout[-2000:])
+    if res.returncode != 0:
+        sys.stderr.write(res.stderr[-4000:])
+        raise SystemExit(f'stage {stage} failed (rc={res.returncode})')
+    return res.stdout
+
+
+def _txt_tree_diff(dir_a, dir_b):
+    """Row-wise |Δ| of the predicted 3D location/distance between two txt
+    trees produced from the SAME detections (columns: KITTI 18-col format,
+    xyz at 11:14)."""
+    import numpy as np
+    deltas_d = []
+    for name in sorted(os.listdir(dir_a)):
+        pa, pb = os.path.join(dir_a, name), os.path.join(dir_b, name)
+        with open(pa) as fa, open(pb) as fb:
+            la, lb = fa.readlines(), fb.readlines()
+        assert len(la) == len(lb), f'{name}: row count differs'
+        for ra, rb in zip(la, lb):
+            fa_ = ra.split()
+            fb_ = rb.split()
+            xa = np.array([float(v) for v in fa_[11:14]])
+            xb = np.array([float(v) for v in fb_[11:14]])
+            da, db = np.linalg.norm(xa), np.linalg.norm(xb)
+            if da > 0:
+                deltas_d.append(abs(db - da) / da)
+    deltas_d = np.asarray(deltas_d)
+    return {'rows': int(deltas_d.size),
+            'mean_rel_dd': float(deltas_d.mean()),
+            'p99_rel_dd': float(np.percentile(deltas_d, 99)),
+            'max_rel_dd': float(deltas_d.max())}
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == '--stage':
+        stage, argv = sys.argv[2], sys.argv[3:]
+        {'setup': stage_setup, 'train': stage_train,
+         'geneval': stage_geneval}[stage](*argv)
+        return
+
+    root = sys.argv[1] if len(sys.argv) > 1 else '/tmp/int8_parity'
+    t0 = time.time()
+    out = _run_stage('setup', root)
+    joints = [l for l in out.splitlines() if l.startswith('JOINTS=')][0][7:]
+    _run_stage('train', root, joints)
+
+    metrics = {}
+    txt_dirs = {}
+    for leg, env in (('bf16', {}), ('int8', {'MONOLOCO_TPU_PRECISION': 'int8'})):
+        out_json = os.path.join(root, f'metrics_{leg}.json')
+        _run_stage('geneval', root, out_json, env_extra=env)
+        with open(out_json) as f:
+            metrics[leg] = json.load(f)
+        src = os.path.join(root, 'data', 'kitti', 'monoloco_pp')
+        dst = os.path.join(root, f'txt_{leg}')
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+        txt_dirs[leg] = dst
+    assert metrics['int8'].pop('int8') is True, 'int8 leg did not engage'
+    metrics['bf16'].pop('int8')
+
+    diff = _txt_tree_diff(txt_dirs['bf16'], txt_dirs['int8'])
+    # Engagement guard: the kernel only routes chunks whose row count
+    # (chunk_images x detection bucket) reaches the >=1024 threshold — if the
+    # two trees are byte-equal the int8 path never engaged and the "delta"
+    # would be a vacuous 0. Require a real difference.
+    assert diff['rows'] > 0 and diff['mean_rel_dd'] > 0, (
+        'int8 kernel never engaged (txt trees identical) — dataset too '
+        'sparse for the >=1024-row threshold at generate chunk size')
+    ale_b, ale_q = metrics['bf16']['ale']['all'], metrics['int8']['ale']['all']
+    rec = {
+        'n_train': NTRAIN, 'n_val': NVAL, 'seed': SEED, 'epochs': EPOCHS,
+        'hard': True, 'bf16': metrics['bf16'], 'int8': metrics['int8'],
+        'ale_all_delta_pct': 100.0 * (ale_q - ale_b) / ale_b,
+        'txt_row_diff': diff, 'wall_s': round(time.time() - t0, 1),
+    }
+    with open(RESULTS, 'a') as f:
+        f.write(json.dumps(rec) + '\n')
+    print(json.dumps(rec))
+
+
+if __name__ == '__main__':
+    main()
