@@ -40,9 +40,12 @@ def _require_live_backend(timeout_s):
     from monoloco_tpu.utils.backend import require_live_backend
     require_live_backend(timeout_s, context='bench')
 # 'bf16' (default, reported metric), 'f32', 'int8' (opt-in quantized serving:
-# the fused int8 Pallas kernel, measured 1.33x bf16-XLA same-session at ~0.8%
-# mean decoded-distance deviation — PARITY.md round-4, ops/fused_mlp.py), or
-# 'int8-xla' (the XLA int8 ablation, ops/quant.py — loses to the kernel).
+# the fused DYNAMIC-int8 Pallas kernel — per-row activation scales in-kernel,
+# int8 MXU, no calibration; 1.25x bf16-XLA same-session, parity-grade on the
+# end metric — PARITY.md round-4, ops/fused_mlp.py), 'int8-a8' (the
+# static-calibrated a8w8 kernel ablation: fastest but NOT parity-grade, ALE
+# +69% at full volume under calibration distribution-shift), or 'int8-xla'
+# (the XLA int8 ablation, ops/quant.py — loses to the kernels).
 PRECISION = os.environ.get('MONOLOCO_TPU_PRECISION', 'bf16')
 
 
@@ -56,27 +59,35 @@ def main():
 
     params, bn_state = init_loco_params(jax.random.PRNGKey(0), 34, 9, 1024, 3)
     folded = fold_eval_params(params, bn_state, arch='loco')
-    if PRECISION in ('int8', 'int8-xla'):
-        rng_c = np.random.RandomState(1)
-        calib_kp = jnp.asarray(rng_c.rand(4096, 3, 17) * 300, jnp.float32)
-        kk_c = jnp.asarray([[718.3351, 0., 600.3891],
-                            [0., 718.3351, 181.5122], [0., 0., 1.]], jnp.float32)
-        calib_x = preprocess_monoloco(calib_kp, kk_c)
+    if PRECISION in ('int8', 'int8-a8', 'int8-xla'):
         if PRECISION == 'int8':
-            # The winning route (and what the engine serves under int8):
-            # fused Pallas kernel, int8 MXU + in-kernel quant/dequant.
-            from monoloco_tpu.ops import (pack_folded_weights_int8,
-                                          fused_loco_forward_int8)
-            packed_q = pack_folded_weights_int8(folded, calib_x)
+            # What the engine serves under int8: the dynamic-int8 fused
+            # kernel — halved weight DMA, per-row activation scales computed
+            # in-kernel, int8 MXU, no calibration.
+            from monoloco_tpu.ops import (pack_folded_weights_w8,
+                                          fused_loco_forward_dyn8)
+            packed_q = pack_folded_weights_w8(folded)
 
             def mlp(inputs):
-                return fused_loco_forward_int8(packed_q, inputs, tile=512)
+                return fused_loco_forward_dyn8(packed_q, inputs, tile=512)
         else:
-            from monoloco_tpu.ops.quant import quantize_folded, quantized_forward
-            q = quantize_folded(folded, calib_x)
+            from monoloco_tpu.ops.quant import synthetic_calibration_inputs
+            calib_x = synthetic_calibration_inputs(34, n=4096)
+            if PRECISION == 'int8-a8':
+                # Full-int8 kernel ablation (int8 MXU, static act scales).
+                from monoloco_tpu.ops import (pack_folded_weights_int8,
+                                              fused_loco_forward_int8)
+                packed_q = pack_folded_weights_int8(folded, calib_x)
 
-            def mlp(inputs):
-                return quantized_forward(q, inputs)
+                def mlp(inputs):
+                    return fused_loco_forward_int8(packed_q, inputs, tile=512)
+            else:
+                from monoloco_tpu.ops.quant import (quantize_folded,
+                                                    quantized_forward)
+                q = quantize_folded(folded, calib_x)
+
+                def mlp(inputs):
+                    return quantized_forward(q, inputs)
 
         def serve_once(folded, keypoints, kk):
             inputs = preprocess_monoloco(keypoints, kk)

@@ -16,7 +16,7 @@ Serving architecture (one device program per image):
 """
 
 import math
-import os
+import warnings
 from collections import defaultdict
 
 import numpy as np
@@ -57,29 +57,35 @@ LINEAR_SIZE_MONO = 256
 #    splitting at the pallas_call boundary costs more than it saves) — it
 #    lives on as an ablation only (ops/fused_mlp.py +
 #    tools/bench_pallas_crossover.py).
-#  - MONOLOCO_TPU_PRECISION=int8: the fused int8 Pallas kernel — int8 MXU
-#    matmuls (2x bf16 peak), in-kernel quantize/dequantize (activations never
-#    leave VMEM), half the streamed-weight DMA bytes. Measured 12.47M vs
-#    9.36M bf16-XLA same-session, 1.33x (tools/bench_pallas_int8.py,
-#    PARITY.md round-4), at ~1% relative decoded-distance deviation
-#    (tests/test_quant.py budget) — an OPT-IN fast path; bf16 XLA stays the
-#    parity-grade default. Only serving batches >= _INT8_MIN_ROWS route to
-#    the kernel; small per-image buckets keep exact XLA numerics.
+#  - MONOLOCO_TPU_PRECISION=int8: the fused DYNAMIC-int8 Pallas kernel —
+#    streamed weights stored int8 (half the HBM DMA bytes), activations
+#    quantized in-kernel with per-ROW scales (a VPU row-max overlapped with
+#    the MXU), int8 MXU matmuls (2x bf16 peak), NO calibration. Measured
+#    11.61M vs 9.30M bf16-XLA same-session (1.25x) and parity-grade on the
+#    end metric (tools/int8_eval_parity.py full-volume study, PARITY.md
+#    round-4). Round-4 history: the first-cut STATIC-calibrated kernel
+#    (12.2M, 1.32x) was withdrawn from serving after the same study measured
+#    ALE +69% under calibration distribution-shift; weight-only w8a16 was
+#    parity-grade but lost to XLA bf16 (8.2M — the win is the int8 MXU, not
+#    the DMA halving). Both survive as measured ablations
+#    (tools/bench_pallas_int8.py). An OPT-IN fast path; bf16 XLA stays the
+#    default. Only serving batches >= _INT8_MIN_ROWS route to the kernel;
+#    small per-image buckets keep exact XLA numerics.
 from ..utils.precision import INT8 as _INT8
 _INT8_MIN_ROWS = 1024
 
 
 def _mlp_forward(weights, inputs, arch):
     """Eval MLP. `weights` is Loco's container {'folded': params dict,
-    'packed_int8': int8 kernel weights when MONOLOCO_TPU_PRECISION=int8} —
+    'packed_int8': dyn8 kernel weights when MONOLOCO_TPU_PRECISION=int8} —
     packed once at init so quantization is not repaid per dispatch — or a
     bare folded dict from direct callers."""
     if isinstance(weights, dict) and 'folded' in weights:
         folded = weights['folded']
         packed_q = weights.get('packed_int8')
         if packed_q is not None and inputs.shape[0] >= _INT8_MIN_ROWS:
-            from ..ops import fused_loco_forward_int8
-            return fused_loco_forward_int8(
+            from ..ops import fused_loco_forward_dyn8
+            return fused_loco_forward_dyn8(
                 packed_q, inputs, interpret=jax.default_backend() != 'tpu')
         return folded_forward(folded, inputs, arch=arch)
     return folded_forward(weights, inputs, arch=arch)
@@ -142,36 +148,29 @@ class Loco:
         self.linear_size = linear_size = int(self.params['w1']['w'].shape[1])
         self.n_stage = int(self.params['stages']['w1']['w'].shape[0])
         self.folded = fold_eval_params(self.params, self.bn_state, arch=self.arch)
-        # Int8 route (opt-in, see kernel-selection note above): quantize +
-        # pack the kernel weight stack ONCE here rather than on every
-        # dispatch; _mlp_forward picks per compiled shape.
+        # Int8 route (opt-in, see kernel-selection note above): pack the
+        # dynamic-int8 kernel weight stack ONCE here rather than on every
+        # dispatch; _mlp_forward picks per compiled shape. No calibration:
+        # weights quantize per-column at pack time, activations per-row
+        # in-kernel.
         self.mlp_weights = {'folded': self.folded}
         if _INT8 and self.arch == 'loco' and linear_size % 128 == 0:
-            from ..ops import pack_folded_weights_int8
-            self.mlp_weights['packed_int8'] = pack_folded_weights_int8(
-                self.folded, self._int8_calibration())
+            if mesh is not None:
+                # A pallas_call has no SPMD partitioning rule: inside the
+                # mesh-sharded batch program XLA would either reject the
+                # Mosaic custom call or all-gather and replicate it, silently
+                # negating both the dp speedup and the kernel win. Serve bf16
+                # XLA (fully partitionable) and say so.
+                warnings.warn(
+                    "MONOLOCO_TPU_PRECISION=int8 is ignored under a device "
+                    "mesh (--dp_devices): the fused kernel cannot be GSPMD-"
+                    "partitioned. Serving the bf16 XLA path instead.",
+                    RuntimeWarning)
+            else:
+                from ..ops import pack_folded_weights_w8
+                self.mlp_weights['packed_int8'] = pack_folded_weights_w8(
+                    self.folded)
         self._infer_cache = {}
-
-    def _int8_calibration(self):
-        """Representative preprocessed inputs for the int8 static activation
-        scales. Without real data at construction time, synthetic keypoints
-        under a KITTI-like camera (bench.py's scheme) cover the serving input
-        range; MONOLOCO_TPU_INT8_CALIB=<.npy of (n, in_dim) preprocessed
-        inputs> substitutes real calibration data."""
-        path = os.environ.get('MONOLOCO_TPU_INT8_CALIB')
-        if path:
-            return jnp.asarray(np.load(path), jnp.float32)
-        rng = np.random.RandomState(1)
-        kk = jnp.asarray([[718.3351, 0., 600.3891],
-                          [0., 718.3351, 181.5122], [0., 0., 1.]], jnp.float32)
-        in_dim = int(self.folded['l0']['w'].shape[0])
-        if in_dim == 68:
-            kps_l = jnp.asarray(rng.rand(64, 3, 17) * 300, jnp.float32)
-            kps_r = jnp.asarray(rng.rand(64, 3, 17) * 300, jnp.float32)
-            inputs, _ = preprocess_monstereo(kps_l, kps_r, kk)   # (4096, 68)
-            return inputs
-        kps = jnp.asarray(rng.rand(2048, 3, 17) * 300, jnp.float32)
-        return preprocess_monoloco(kps, kk)
 
     # ------------------------------------------------------------------
     # Jitted end-to-end device programs (cached per bucket)

@@ -3,5 +3,8 @@ from .fused_mlp import (
     pack_folded_weights,
     fused_loco_forward_int8,
     pack_folded_weights_int8,
+    fused_loco_forward_w8,
+    fused_loco_forward_dyn8,
+    pack_folded_weights_w8,
 )
 from .quant import quantize_folded, quantized_forward

@@ -192,7 +192,28 @@ def fused_loco_forward(folded, x, dtype=jnp.bfloat16, tile=512, packed=None,
 
 
 # ---------------------------------------------------------------------------
-# Int8 variant: int8 MXU matmuls with in-kernel quantize/dequantize.
+# Int8 variants: the streamed H x H weights stored int8 (half the HBM DMA
+# bytes of bf16 — the dominant cost at serving batch sizes), in two flavors:
+#
+#  - w8a16 (pack_folded_weights_w8, act_quant=False): weight-only int8.
+#    Weight tiles convert int8 -> bf16 in VMEM (VPU work overlapped with the
+#    MXU), matmuls run bf16 with f32 accumulation, and the per-output-channel
+#    weight scale is applied to the matmul OUTPUT — exactly equivalent to
+#    dequantizing the weights, but costs tile*H multiplies instead of H*H and
+#    avoids a second rounding through bf16. Needs NO calibration; measured
+#    0.22% mean / 0.69% p99 relative decoded-distance deviation on a trained
+#    full-volume checkpoint — parity-grade (tools/int8_eval_parity.py). This
+#    is what MONOLOCO_TPU_PRECISION=int8 serves.
+#
+#  - a8w8 (pack_folded_weights_int8, act_quant=True): full int8 — activations
+#    quantized in-kernel with static per-tensor scales calibrated on a
+#    representative batch, int8 x int8 MXU matmuls (2x the bf16 peak).
+#    Faster in principle, but static activation calibration is NOT
+#    parity-grade on trained checkpoints: synthetic calibration overestimated
+#    real activation ranges ~13x (≈3.3 effective bits, 6.5% mean per-row
+#    distance deviation, ALE +69% at full volume — tools/int8_eval_parity.py
+#    round-4), and even real-data calibration measures 2.8% mean. Kept as a
+#    measured ablation only (bench.py MONOLOCO_TPU_PRECISION=int8-a8).
 #
 # Rationale (VERDICT r3 item 4): the XLA int8 path (ops/quant.py) measured
 # SLOWER than bf16 end-to-end (9.22M vs 9.33M) because the per-layer
@@ -200,8 +221,54 @@ def fused_loco_forward(folded, x, dtype=jnp.bfloat16, tile=512, packed=None,
 # Inside one Pallas kernel the activations never leave VMEM, the conversions
 # are VPU work overlapped with MXU/DMA, and the streamed int8 weights HALVE
 # the HBM DMA bytes vs bf16 — the two costs that made XLA-int8 lose are
-# exactly what fusion removes. v5e int8 MXU peak is 2x the bf16 peak.
+# exactly what fusion removes.
 # ---------------------------------------------------------------------------
+
+
+def _quant_weight_np(w):
+    """(in, out) f32 -> (int8 weight, per-column f32 scale); numerics match
+    ops/quant.py _quant_weight (round-half-even, zero-column guard)."""
+    from .quant import _quant_weight
+    return _quant_weight(w)
+
+
+def pack_folded_weights_w8(folded):
+    """Weight-only int8 pack for the fused kernel (w8a16 — NO calibration).
+
+    The streamed H x H matmuls are stored int8 with per-output-channel scales
+    applied to the matmul output; activations stay bf16/f32. The tiny input
+    projection and head matmuls stay bfloat16 (VMEM-resident, negligible
+    FLOPs). Returns the same tuple layout as pack_folded_weights_int8 with
+    inv_in unused (ones) so both flavors share one kernel and call path.
+    """
+    stages_a = folded['stages']['a']
+    stages_b = folded['stages']['b']
+    n_stage = stages_a['w'].shape[0]
+    wqs, oscales, bs = [], [], []
+    for i in range(n_stage):
+        for st in (stages_a, stages_b):
+            wq, scale = _quant_weight_np(st['w'][i])
+            wqs.append(wq)
+            oscales.append(scale)
+            bs.append(st['b'][i])
+    for name in ('w2', 'w3f'):
+        wq, scale = _quant_weight_np(folded[name]['w'])
+        wqs.append(wq)
+        oscales.append(scale)
+        bs.append(folded[name]['b'])
+    n_mm = len(wqs)
+    return (
+        folded['l0']['w'].astype(jnp.bfloat16),
+        folded['l0']['b'].astype(jnp.float32),
+        jnp.stack(wqs),                                    # int8
+        jnp.ones((n_mm,), jnp.float32),                    # inv_in: unused
+        jnp.stack(oscales).astype(jnp.float32),
+        jnp.stack(bs).astype(jnp.float32),
+        folded['w_aux']['w'].astype(jnp.bfloat16),
+        folded['w_aux']['b'].astype(jnp.float32),
+        folded['w_fin']['w'].astype(jnp.bfloat16),
+        folded['w_fin']['b'].astype(jnp.float32),
+    )
 
 
 def pack_folded_weights_int8(folded, calib_x):
@@ -250,9 +317,16 @@ def pack_folded_weights_int8(folded, calib_x):
 
 def _kernel_int8(x_ref, w0_ref, b0_ref, inv_in_ref, oscale_ref, bstack_ref,
                  waux_ref, baux_ref, wfin_ref, bfin_ref, wstack_hbm, out_ref,
-                 wbuf, sems, *, n_mm):
-    """Same streaming structure as _kernel, with the H x H matmuls running
-    int8 x int8 -> int32 on the MXU and quantize/dequantize kept in VMEM."""
+                 wbuf, sems, *, n_mm, act_mode):
+    """Same streaming structure as _kernel, with the H x H weights streamed
+    as int8. act_mode selects the activation handling:
+      'static'  — quantize with the calibrated per-tensor scales, int8 MXU
+                  (a8w8; ablation only — not parity-grade on trained nets);
+      'dynamic' — quantize with per-ROW scales computed on the fly (row max
+                  over the lane axis, a VPU reduction overlapped with the
+                  MXU), int8 MXU; no calibration, inv_in unused;
+      'none'    — convert the weight tile to bf16 and run bf16 matmuls
+                  (w8a16; inv_in unused)."""
 
     def start_load(idx, slot):
         pltpu.make_async_copy(wstack_hbm.at[idx], wbuf.at[slot], sems.at[slot]).start()
@@ -265,13 +339,36 @@ def _kernel_int8(x_ref, w0_ref, b0_ref, inv_in_ref, oscale_ref, bstack_ref,
         start_load(1, 1)
 
     def mm_int8(act, slot, idx):
-        # Static per-tensor activation scale (calibrated), round-half-even to
-        # match the XLA int8 path (ops/quant.py _quant_act).
-        qx = jnp.clip(jnp.round(act * inv_in_ref[idx]), -127, 127).astype(jnp.int8)
+        if act_mode == 'static':
+            # Static per-tensor activation scale (calibrated), round-half-even
+            # to match the XLA int8 path (ops/quant.py _quant_act).
+            qx = jnp.clip(jnp.round(act * inv_in_ref[idx]), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                qx, wbuf[slot],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * oscale_ref[idx][None, :]
+                    + bstack_ref[idx][None, :])
+        if act_mode == 'dynamic':
+            # Per-row dynamic scale: each row uses its own full int8 range,
+            # so no calibration and no distribution-shift failure mode.
+            amax = jnp.max(jnp.abs(act), axis=1, keepdims=True)
+            s = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+            qx = jnp.clip(jnp.round(act * (127.0 / jnp.maximum(amax, 1e-8))),
+                          -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                qx, wbuf[slot],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * (s * oscale_ref[idx][None, :])
+                    + bstack_ref[idx][None, :])
+        # 'none' — weight-only: int8 values are exact in bf16 (8-bit
+        # mantissa), so the per-column scale moves to the f32 output
+        # unchanged.
         acc = jax.lax.dot_general(
-            qx, wbuf[slot],
+            act.astype(jnp.bfloat16), wbuf[slot].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+            preferred_element_type=jnp.float32)
         return (acc.astype(jnp.float32) * oscale_ref[idx][None, :]
                 + bstack_ref[idx][None, :])
 
@@ -319,8 +416,8 @@ def _kernel_int8(x_ref, w0_ref, b0_ref, inv_in_ref, oscale_ref, bstack_ref,
     out_ref[:] = jnp.concatenate([fin, aux], axis=1).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('tile', 'interpret'))
-def _fused_call_int8(packed, x, tile, interpret=False):
+@functools.partial(jax.jit, static_argnames=('tile', 'act_mode', 'interpret'))
+def _fused_call_int8(packed, x, tile, act_mode='static', interpret=False):
     (w0, b0, wq, inv_in, oscale, bstack, waux, baux, wfin, bfin) = packed
     batch, in_dim = x.shape
     hidden = w0.shape[1]
@@ -328,7 +425,7 @@ def _fused_call_int8(packed, x, tile, interpret=False):
     out_dim = wfin.shape[1] + 1
     n_tiles = batch // tile
 
-    kernel = functools.partial(_kernel_int8, n_mm=n_mm)
+    kernel = functools.partial(_kernel_int8, n_mm=n_mm, act_mode=act_mode)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((batch, out_dim), jnp.float32),
@@ -363,8 +460,31 @@ def _fused_call_int8(packed, x, tile, interpret=False):
 
 
 def fused_loco_forward_int8(packed, x, tile=512, interpret=False):
-    """Int8 fused forward on (m, in) inputs; packed from
-    pack_folded_weights_int8. Pads to a tile multiple; returns (m, out) f32."""
+    """Full-int8 (a8w8, static calibrated scales) fused forward on (m, in)
+    inputs; packed from pack_folded_weights_int8. Pads to a tile multiple;
+    returns (m, out) f32. Measured ablation only — NOT parity-grade (see
+    module note above)."""
+    return _fused_int8_family(packed, x, tile, act_mode='static',
+                              interpret=interpret)
+
+
+def fused_loco_forward_dyn8(packed, x, tile=512, interpret=False):
+    """Dynamic-int8 (a8w8, per-row scales computed in-kernel) fused forward;
+    packed from pack_folded_weights_w8 (no calibration). Keeps the int8 MXU
+    win without the static-calibration failure mode. Pads to a tile multiple;
+    returns (m, out) f32."""
+    return _fused_int8_family(packed, x, tile, act_mode='dynamic',
+                              interpret=interpret)
+
+
+def fused_loco_forward_w8(packed, x, tile=512, interpret=False):
+    """Weight-only int8 (w8a16) fused forward; packed from
+    pack_folded_weights_w8. Pads to a tile multiple; returns (m, out) f32."""
+    return _fused_int8_family(packed, x, tile, act_mode='none',
+                              interpret=interpret)
+
+
+def _fused_int8_family(packed, x, tile, act_mode, interpret):
     hidden = packed[0].shape[1]
     if hidden % 128 != 0:
         raise ValueError(f"fused kernel requires hidden % 128 == 0, got {hidden}")
@@ -373,5 +493,6 @@ def fused_loco_forward_int8(packed, x, tile=512, interpret=False):
     padded = -(-m // tile) * tile
     if padded != m:
         x = jnp.concatenate([x, jnp.zeros((padded - m, x.shape[1]), x.dtype)])
-    out = _fused_call_int8(packed, x, tile, interpret=interpret)
+    out = _fused_call_int8(packed, x, tile, act_mode=act_mode,
+                           interpret=interpret)
     return out[:m]

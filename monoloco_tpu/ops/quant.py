@@ -4,14 +4,20 @@ TPU v5e's int8 MXU peak is 2x the bfloat16 peak. THIS XLA route does not
 win end-to-end (round-3: 9.22M inferences/sec vs 9.33M bf16; round-4
 fair-control same-session: 9.20M vs 9.36M — a slight loss): the per-layer
 activation quantize/dequantize ops cost HBM round trips between matmuls.
-The FUSED Pallas kernel built on this module's calibration
+The FUSED a8w8 Pallas kernel built on this module's calibration
 (ops/fused_mlp.py pack_folded_weights_int8 / _kernel_int8) removes exactly
-those costs — activations stay in VMEM, streamed weights halve their DMA
-bytes — and measures **12.47M vs 9.36M bf16-XLA same-session (1.33x)**; it
-is what `MONOLOCO_TPU_PRECISION=int8` serves (engine + bench.py). This XLA
-implementation remains as the calibration provider, the accuracy reference
-for the kernel, and the `int8-xla` bench ablation. The reference has no
-counterpart (torch f32 only).
+those costs and measured 12.47M vs 9.36M bf16-XLA same-session (1.33x) —
+but round-4's full-volume end-metric study (tools/int8_eval_parity.py)
+showed STATIC activation calibration is not parity-grade on trained
+checkpoints: synthetic calibration overestimates real activation ranges
+~13x (≈3.3 effective bits, 6.5% mean per-row distance deviation, ALE +69%),
+and even real-data per-tensor calibration measures 2.8% mean. What
+`MONOLOCO_TPU_PRECISION=int8` actually serves is therefore the WEIGHT-ONLY
+int8 kernel (w8a16, ops/fused_mlp.py pack_folded_weights_w8 — no activation
+quantization, no calibration, 0.22% mean deviation). This module survives
+as the a8w8 quantization scheme for the `int8-a8` / `int8-xla` bench
+ablations and their accuracy tests. The reference has no counterpart
+(torch f32 only).
 
 Scheme (standard symmetric PTQ):
  - weights: per-output-channel int8, scale = max|w| / 127 over each column;
@@ -21,14 +27,39 @@ Scheme (standard symmetric PTQ):
  - accumulation in int32 via lax.dot_general(preferred_element_type=int32),
    rescale to f32, bias add and ReLU in f32, residual stream kept f32.
 
-Accuracy is validated in tests/test_quant.py: decoded distances track the f32
-path within ~1% relative — inside the aleatoric spread (bi ~ 0.5-2 m) but NOT
-bit-parity; keep the default bf16 path when exact reference agreement matters.
+Accuracy: on checkpoints whose activation distribution matches the
+calibration batch, decoded distances track f32 within ~1% relative
+(tests/test_quant.py); on trained checkpoints under distribution shift the
+error grows to several percent (see above) — which is why no serving path
+uses static activation scales.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def synthetic_calibration_inputs(in_dim, n=2048, seed=1):
+    """The shared synthetic calibration batch for the a8 ablations.
+
+    One definition (KITTI-like intrinsics, uniform keypoints over a
+    1242x375-ish image) used by bench.py, tools/bench_pallas_int8.py, and the
+    tests, so 'what the a8 ablation measures' cannot silently de-sync across
+    sites. NOTE: round-4 measured this distribution to overestimate trained-
+    checkpoint activation ranges ~13x — which is exactly why no serving path
+    calibrates on it (module docstring)."""
+    from ..network.preprocess import preprocess_monoloco, preprocess_monstereo
+    rng = np.random.RandomState(seed)
+    kk = jnp.asarray([[718.3351, 0., 600.3891],
+                      [0., 718.3351, 181.5122], [0., 0., 1.]], jnp.float32)
+    if in_dim == 68:
+        side = max(2, int(round(n ** 0.5)))
+        kps_l = jnp.asarray(rng.rand(side, 3, 17) * 300, jnp.float32)
+        kps_r = jnp.asarray(rng.rand(side, 3, 17) * 300, jnp.float32)
+        inputs, _ = preprocess_monstereo(kps_l, kps_r, kk)   # (side^2, 68)
+        return inputs
+    kps = jnp.asarray(rng.rand(n, 3, 17) * 300, jnp.float32)
+    return preprocess_monoloco(kps, kk)
 
 
 def _quant_weight(w):

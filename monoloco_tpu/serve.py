@@ -186,11 +186,13 @@ def make_handler(batcher, net, timeout_s=60.0):
         def log_message(self, fmt, *args):  # noqa: ARG002
             pass
 
-        def _reply(self, code, payload):
+        def _reply(self, code, payload, headers=None):
             body = json.dumps(payload).encode()
             try:
                 self.send_response(code)
                 self.send_header('Content-Type', 'application/json')
+                for name, value in (headers or {}).items():
+                    self.send_header(name, value)
                 self.send_header('Content-Length', str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -255,13 +257,10 @@ def make_handler(batcher, net, timeout_s=60.0):
             r = batcher.submit(kps, kk, kps_r)
             if r is None:
                 # Saturated: shed load instead of queueing without bound.
-                body = json.dumps({'error': 'server overloaded'}).encode()
-                self.send_response(503)
-                self.send_header('Content-Type', 'application/json')
-                self.send_header('Retry-After', '1')
-                self.send_header('Content-Length', str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                # Through _reply so a client that already hung up (routine
+                # exactly under overload) can't crash the handler.
+                self._reply(503, {'error': 'server overloaded'},
+                            headers={'Retry-After': '1'})
                 return
             if not r.event.wait(timeout_s):
                 self._reply(504, {'error': 'inference timed out'})

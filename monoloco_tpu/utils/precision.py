@@ -8,8 +8,9 @@ MONOLOCO_TPU_PRECISION selects the precision XLA uses for matmuls on TPU:
              RALP-5% study in BASELINE.md).
   bfloat16 / tensorfloat32   explicit lower precisions.
 Aliases f32/fp32/bf16 normalize to the jax.default_matmul_precision spellings;
-int8 is a bench-only quantization path (ops/quant.py) and maps to 'default'
-for the float programs around it.
+int8 selects the weight-only int8 fused serving kernel (ops/fused_mlp.py) and
+maps to 'default' for the float programs around it (int8-a8/int8-xla are
+bench-only ablations).
 
 The env var is read once at import: the whole process (trainer + engine) runs
 at one precision, so lru-cached jitted programs never mix traces.
@@ -20,12 +21,17 @@ import os
 
 _RAW = os.environ.get('MONOLOCO_TPU_PRECISION', 'default')
 MATMUL_PRECISION = {'f32': 'float32', 'fp32': 'float32', 'bf16': 'bfloat16',
-                    'int8': 'default', 'int8-xla': 'default'}.get(_RAW, _RAW)
+                    'int8': 'default', 'int8-a8': 'default',
+                    'int8-xla': 'default'}.get(_RAW, _RAW)
 PIN_F32 = MATMUL_PRECISION in ('float32', 'highest')
-# int8 selects the fused Pallas serving kernel (int8 MXU matmuls with
-# in-kernel quantize/dequantize, ops/fused_mlp.py) — measured 1.33x the bf16
-# XLA path end-to-end on TPU v5e-1 (PARITY.md round-4 study) at ~1% relative
-# decoded-distance deviation. Opt-in: bf16 XLA stays the parity-grade default.
+# int8 selects the fused WEIGHT-ONLY int8 (w8a16) Pallas serving kernel
+# (ops/fused_mlp.py pack_folded_weights_w8): streamed weights stored int8
+# (half the HBM DMA bytes), bf16 MXU matmuls, no calibration — parity-grade
+# at 0.22% mean decoded-distance deviation on a trained full-volume
+# checkpoint (tools/int8_eval_parity.py, PARITY.md round-4). 'int8-a8' and
+# 'int8-xla' are bench-only ablations of the full-int8 scheme (static
+# activation calibration — NOT parity-grade). Opt-in: bf16 XLA stays the
+# default.
 INT8 = _RAW == 'int8'
 
 

@@ -106,3 +106,107 @@ class TestInt8Kernel:
         assert out.shape == (77, 9)
         np.testing.assert_allclose(np.asarray(out), np.asarray(full)[:77],
                                    atol=1e-5)
+
+
+class TestDyn8AndW8Kernels:
+    """Round-4 kernel family: pack_folded_weights_w8 feeds both the
+    weight-only (w8a16) and the per-row dynamic-int8 serving kernels.
+    Neither takes calibration data — the accuracy must hold on ANY input
+    distribution (the static-calibrated kernel's failure mode, see
+    ops/fused_mlp.py module note)."""
+
+    @pytest.fixture(scope='class')
+    def setup(self):
+        from monoloco_tpu.ops import pack_folded_weights_w8
+        params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 128, 3)
+        folded = fold_eval_params(params, bn)
+        return folded, pack_folded_weights_w8(folded)
+
+    def test_packed_layout(self, setup):
+        _, packed = setup
+        w0, b0, wq, inv_in, oscale, bstack, waux, baux, wfin, bfin = packed
+        assert wq.dtype == jnp.int8 and wq.shape == (8, 128, 128)
+        assert inv_in.shape == (8,)                  # unused placeholder
+        np.testing.assert_array_equal(np.asarray(inv_in), 1.0)
+        assert oscale.shape == (8, 128) and bstack.shape == (8, 128)
+        assert w0.dtype == jnp.bfloat16
+
+    def test_dyn8_tracks_f32_under_distribution_shift(self, setup):
+        """Per-row scales are computed from the data itself, so a 50x input
+        rescale must NOT degrade quantization accuracy (static calibration
+        fails exactly here: ~13x scale overestimate => ~3.3 effective bits).
+        Use mean|err|/mean|ref| — exactly scale-invariant, no per-element
+        denominator floor to distort the comparison — and assert the two
+        scales agree within 2x, plus an absolute budget."""
+        from monoloco_tpu.ops import fused_loco_forward_dyn8
+        folded, packed = setup
+
+        def mean_rel(scale):
+            x = jax.random.normal(jax.random.PRNGKey(11), (256, 34)) * scale
+            ref = np.asarray(folded_forward(folded, x))
+            out = np.asarray(fused_loco_forward_dyn8(packed, x, tile=128,
+                                                     interpret=True))
+            return np.abs(out - ref).mean() / np.abs(ref).mean()
+
+        r1, r50 = mean_rel(1.0), mean_rel(50.0)
+        assert r1 < 0.02, r1
+        assert r50 < 0.02, r50
+        assert r50 < 2.0 * max(r1, 1e-3) and r1 < 2.0 * max(r50, 1e-3), (r1, r50)
+
+    def test_w8_tracks_f32_tightly(self, setup):
+        from monoloco_tpu.ops import fused_loco_forward_w8
+        folded, packed = setup
+        x = jax.random.normal(jax.random.PRNGKey(12), (256, 34))
+        ref = np.asarray(folded_forward(folded, x))
+        out = np.asarray(fused_loco_forward_w8(packed, x, tile=128,
+                                               interpret=True))
+        rel = np.abs(out - ref) / np.maximum(np.abs(ref), 0.5)
+        assert rel.mean() < 0.005, rel.mean()
+
+    def test_dyn8_ragged_batch_padding(self, setup):
+        from monoloco_tpu.ops import fused_loco_forward_dyn8
+        _, packed = setup
+        x = jax.random.normal(jax.random.PRNGKey(13), (128, 34))
+        out = fused_loco_forward_dyn8(packed, x[:77], tile=128, interpret=True)
+        full = fused_loco_forward_dyn8(packed, x, tile=128, interpret=True)
+        assert out.shape == (77, 9)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full)[:77],
+                                   atol=1e-5)
+
+
+class TestEngineInt8Routing:
+    """MONOLOCO_TPU_PRECISION=int8 routing inside Loco (flag monkeypatched —
+    the env var is read once at import)."""
+
+    def _net(self, mesh=None):
+        from monoloco_tpu.network.engine import Loco
+        params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 128, 3)
+        return Loco(model=(params, bn), mode='mono', net='monoloco_pp',
+                    mesh=mesh)
+
+    def test_packs_dyn8_weights_and_routes_large_batches(self, monkeypatch):
+        from monoloco_tpu.network import engine
+        monkeypatch.setattr(engine, '_INT8', True)
+        net = self._net()
+        assert 'packed_int8' in net.mlp_weights
+        assert net.mlp_weights['packed_int8'][2].dtype == jnp.int8
+        # >= _INT8_MIN_ROWS routes through the kernel; the decoded output
+        # must stay close to the XLA path.
+        x = jax.random.normal(jax.random.PRNGKey(1), (engine._INT8_MIN_ROWS, 34))
+        out_kernel = np.asarray(engine._mlp_forward(net.mlp_weights, x, 'loco'))
+        out_xla = np.asarray(engine._mlp_forward(net.folded, x, 'loco'))
+        rel = np.abs(out_kernel - out_xla) / np.maximum(np.abs(out_xla), 0.5)
+        assert rel.mean() < 0.02, rel.mean()
+        # below the threshold the XLA path is exact
+        small = np.asarray(engine._mlp_forward(net.mlp_weights, x[:8], 'loco'))
+        np.testing.assert_allclose(small, out_xla[:8], atol=1e-5)
+
+    def test_mesh_disables_int8_with_warning(self, monkeypatch):
+        import warnings as _w
+        from monoloco_tpu.network import engine
+        from monoloco_tpu.parallel import make_mesh
+        monkeypatch.setattr(engine, '_INT8', True)
+        mesh = make_mesh(jax.devices()[:1])
+        with pytest.warns(RuntimeWarning, match='ignored under a device mesh'):
+            net = self._net(mesh=mesh)
+        assert 'packed_int8' not in net.mlp_weights

@@ -279,26 +279,40 @@ def test_overload_503_carries_retry_after():
         for t in fire:
             t.start()
         import time
-        # Wait until BOTH saturating requests are actually in (one in
-        # dispatch, one filling the depth-1 queue) — a fixed sleep races on a
-        # contended host and lets the probe request take the queue slot.
-        deadline = time.time() + 20
-        while time.time() < deadline:
+        # Wait until the server is PROVABLY saturated: one request in
+        # dispatch (10 s forward) AND one holding the depth-1 queue slot.
+        # Two flake paths guarded here (both observed on this 1-core host):
+        #  - depth 1 read while the queued request was merely awaiting the
+        #    collator (nothing in dispatch) — the slot frees 0.1 s later and
+        #    the probe lands in it (200 instead of 503). Guard: require
+        #    depth >= 1 across TWO reads 0.3 s apart (the collator polls
+        #    every 0.1 s, so a free collator would have drained it).
+        #  - one saturator shed at submit before the other entered dispatch
+        #    (depth never reaches 1). Guard: top the queue back up.
+        m = {}
+        stable = False
+        deadline = time.time() + 30
+        while time.time() < deadline and not stable:
             m = _get(srv.port, '/metrics')
-            # queue_depth 1 is sufficient: with max_queue=1 and a 10 s
-            # forward, one saturating request holds the single queue slot
-            # (the other is either in dispatch or was itself shed), so the
-            # probe below must hit queue.Full. ('requests' only increments
-            # when a batch COMPLETES — it stays 0 for the whole 10 s
-            # dispatch, so it cannot be part of this condition.)
             if m.get('queue_depth', 0) >= 1:
-                break
+                time.sleep(0.3)
+                m = _get(srv.port, '/metrics')
+                stable = m.get('queue_depth', 0) >= 1
+                continue
+            if m.get('shed', 0) > 0:
+                threading.Thread(target=lambda: call_quietly(srv.port, 99),
+                                 daemon=True).start()
+                time.sleep(0.1)
             time.sleep(0.05)
-        else:
-            raise AssertionError(f'saturating requests never landed: {m}')
+        if not stable:
+            raise AssertionError(f'saturation never stabilized: {m}')
+        # Generous socket timeout: the shed itself is instant once the
+        # handler runs, but on a contended 1-core host the accept/handler
+        # thread can be starved for seconds (observed as a flaky
+        # TimeoutError at timeout=5).
         with pytest.raises(urllib.error.HTTPError) as exc:
             _post(srv.port, {'keypoints': _keypoints(1, seed=9), 'kk': KK},
-                  timeout=5)
+                  timeout=30)
         assert exc.value.code == 503
         assert exc.value.headers.get('Retry-After') == '1'
     finally:

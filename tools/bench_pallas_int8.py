@@ -10,7 +10,11 @@ same anti-self-deception methodology as bench.py (scan-chained iterations,
 scalar-checksum fetch, median of 5).
 
 Usage: python tools/bench_pallas_int8.py [variants ...]
-  variants: xla-bf16 xla-int8 pallas-bf16 pallas-int8 (default: all)
+  variants: xla-bf16 xla-int8 pallas-bf16 pallas-w8 pallas-dyn8 pallas-int8
+  (default: all; pallas-dyn8 = per-row dynamic int8, what
+   MONOLOCO_TPU_PRECISION=int8 serves; pallas-w8 = weight-only int8;
+   pallas-int8 = static-calibrated a8w8 — NOT parity-grade, see
+   ops/fused_mlp.py)
 Emits one JSON line per variant.
 """
 
@@ -34,11 +38,12 @@ SCAN_ITERS = 16
 TILE = int(os.environ.get('BENCH_PALLAS_TILE', '512'))
 
 
-def build_serve(variant, folded, q, packed_bf16, packed_int8):
+def build_serve(variant, folded, q, packed_bf16, packed_w8, packed_int8):
     from monoloco_tpu.models import folded_forward
     from monoloco_tpu.network.preprocess import preprocess_monoloco
     from monoloco_tpu.network.decode import extract_outputs
-    from monoloco_tpu.ops import fused_loco_forward, fused_loco_forward_int8
+    from monoloco_tpu.ops import (fused_loco_forward, fused_loco_forward_int8,
+                                  fused_loco_forward_w8, fused_loco_forward_dyn8)
     from monoloco_tpu.ops.quant import quantized_forward
 
     # Fair baseline: the production bf16 path (bench.py) casts the WEIGHTS to
@@ -57,6 +62,10 @@ def build_serve(variant, folded, q, packed_bf16, packed_int8):
         if variant == 'pallas-bf16':
             return fused_loco_forward(None, inputs, packed=packed_bf16,
                                       tile=TILE)
+        if variant == 'pallas-w8':
+            return fused_loco_forward_w8(packed_w8, inputs, tile=TILE)
+        if variant == 'pallas-dyn8':
+            return fused_loco_forward_dyn8(packed_w8, inputs, tile=TILE)
         if variant == 'pallas-int8':
             return fused_loco_forward_int8(packed_int8, inputs, tile=TILE)
         raise ValueError(variant)
@@ -85,32 +94,31 @@ def build_serve(variant, folded, q, packed_bf16, packed_int8):
 
 def main():
     variants = sys.argv[1:] or ['xla-bf16', 'xla-int8', 'pallas-bf16',
-                                'pallas-int8']
+                                'pallas-w8', 'pallas-dyn8', 'pallas-int8']
     from monoloco_tpu.utils.backend import require_live_backend
     require_live_backend(context='bench_pallas_int8')
     from monoloco_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     from monoloco_tpu.models import init_loco_params, fold_eval_params
-    from monoloco_tpu.network.preprocess import preprocess_monoloco
-    from monoloco_tpu.ops import pack_folded_weights, pack_folded_weights_int8
-    from monoloco_tpu.ops.quant import quantize_folded
+    from monoloco_tpu.ops import (pack_folded_weights, pack_folded_weights_int8,
+                                  pack_folded_weights_w8)
+    from monoloco_tpu.ops.quant import quantize_folded, synthetic_calibration_inputs
 
     params, bn_state = init_loco_params(jax.random.PRNGKey(0), 34, 9, 1024, 3)
     folded = fold_eval_params(params, bn_state, arch='loco')
-    rng_c = np.random.RandomState(1)
     kk = jnp.asarray([[718.3351, 0., 600.3891], [0., 718.3351, 181.5122],
                       [0., 0., 1.]], jnp.float32)
-    calib = preprocess_monoloco(
-        jnp.asarray(rng_c.rand(4096, 3, 17) * 300, jnp.float32), kk)
+    calib = synthetic_calibration_inputs(34, n=4096)
     q = quantize_folded(folded, calib)
     packed_bf16 = pack_folded_weights(folded, dtype=jnp.bfloat16)
+    packed_w8 = pack_folded_weights_w8(folded)
     packed_int8 = pack_folded_weights_int8(folded, calib)
 
     rng = np.random.RandomState(0)
     keypoints = jnp.asarray(rng.rand(BATCH, 3, 17) * 300, jnp.float32)
 
     for variant in variants:
-        serve_scan = build_serve(variant, folded, q, packed_bf16, packed_int8)
+        serve_scan = build_serve(variant, folded, q, packed_bf16, packed_w8, packed_int8)
         t_compile = time.perf_counter()
         checksum = float(serve_scan(keypoints, kk))        # warm-up/compile
         compile_s = time.perf_counter() - t_compile
