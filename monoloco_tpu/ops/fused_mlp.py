@@ -225,13 +225,6 @@ def fused_loco_forward(folded, x, dtype=jnp.bfloat16, tile=512, packed=None,
 # ---------------------------------------------------------------------------
 
 
-def _quant_weight_np(w):
-    """(in, out) f32 -> (int8 weight, per-column f32 scale); numerics match
-    ops/quant.py _quant_weight (round-half-even, zero-column guard)."""
-    from .quant import _quant_weight
-    return _quant_weight(w)
-
-
 def pack_folded_weights_w8(folded):
     """Weight-only int8 pack for the fused kernel (w8a16 — NO calibration).
 
@@ -240,19 +233,22 @@ def pack_folded_weights_w8(folded):
     projection and head matmuls stay bfloat16 (VMEM-resident, negligible
     FLOPs). Returns the same tuple layout as pack_folded_weights_int8 with
     inv_in unused (ones) so both flavors share one kernel and call path.
+    Weight quantization numerics match ops/quant.py _quant_weight
+    (round-half-even, zero-column guard).
     """
+    from .quant import _quant_weight
     stages_a = folded['stages']['a']
     stages_b = folded['stages']['b']
     n_stage = stages_a['w'].shape[0]
     wqs, oscales, bs = [], [], []
     for i in range(n_stage):
         for st in (stages_a, stages_b):
-            wq, scale = _quant_weight_np(st['w'][i])
+            wq, scale = _quant_weight(st['w'][i])
             wqs.append(wq)
             oscales.append(scale)
             bs.append(st['b'][i])
     for name in ('w2', 'w3f'):
-        wq, scale = _quant_weight_np(folded[name]['w'])
+        wq, scale = _quant_weight(folded[name]['w'])
         wqs.append(wq)
         oscales.append(scale)
         bs.append(folded[name]['b'])

@@ -16,8 +16,8 @@ JOINTS = os.path.join(HERE, 'fixture_joints-kitti-mono.json')
 
 def test_int8_routing_policy(monkeypatch):
     """MONOLOCO_TPU_PRECISION=int8 routes serving batches >= _INT8_MIN_ROWS
-    through the fused int8 kernel and keeps small per-image buckets on the
-    exact XLA path (engine.py kernel-selection note)."""
+    through the fused dynamic-int8 kernel and keeps small per-image buckets
+    on the exact XLA path (engine.py kernel-selection note)."""
     import monoloco_tpu.network.engine as e
     calls = []
 
@@ -26,7 +26,7 @@ def test_int8_routing_policy(monkeypatch):
         return e.folded_forward(packed['folded'], inputs, arch='loco')
 
     import monoloco_tpu.ops as ops
-    monkeypatch.setattr(ops, 'fused_loco_forward_int8', fake_int8)
+    monkeypatch.setattr(ops, 'fused_loco_forward_dyn8', fake_int8)
     import jax
     import jax.numpy as jnp
     from monoloco_tpu.models import init_loco_params, fold_eval_params

@@ -49,7 +49,9 @@ def test_rejects_unaligned_hidden():
 
 
 class TestInt8Kernel:
-    """Int8 fused kernel (in-kernel quantize/dequantize, int8 MXU matmuls)."""
+    """Static-calibrated a8w8 fused kernel — ablation only (NOT what
+    MONOLOCO_TPU_PRECISION=int8 serves; see TestDyn8AndW8Kernels). Accuracy
+    asserted on IN-CALIBRATION data — the regime where static scales hold."""
 
     @pytest.fixture(scope='class')
     def setup(self):
