@@ -82,3 +82,16 @@ def test_int8_serving_tracks_f32_on_trained_model(tmp_path):
     b_q = np.asarray(extract_outputs(raw_q)['bi']).ravel()
     assert np.all(np.isfinite(b_q))
     assert np.abs(b_f - b_q).max() < 0.5
+
+
+def test_synthetic_calibration_inputs_shapes():
+    """The shared calibration helper (single definition for every a8
+    ablation site) produces preprocessed inputs of the right width for both
+    architectures, deterministically per seed."""
+    from monoloco_tpu.ops.quant import synthetic_calibration_inputs
+    x34 = synthetic_calibration_inputs(34, n=64)
+    assert x34.shape == (64, 34)
+    x68 = synthetic_calibration_inputs(68, n=64)
+    assert x68.shape[1] == 68 and x68.shape[0] >= 64
+    x34b = synthetic_calibration_inputs(34, n=64)
+    np.testing.assert_array_equal(np.asarray(x34), np.asarray(x34b))
