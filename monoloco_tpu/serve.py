@@ -204,9 +204,15 @@ def make_handler(batcher, net, timeout_s=60.0):
 
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path == '/healthz':
+                # 'precision' tells operators which serving path actually
+                # engaged (int8 falls back to bf16 under a mesh — engine
+                # warns at init, and this is the observable confirmation).
+                from .utils.precision import _RAW as _precision_raw
                 self._reply(200, {
                     'status': 'ok', 'net': net.net, 'mode': net.mode,
-                    'hidden': net.linear_size, 'n_stage': net.n_stage})
+                    'hidden': net.linear_size, 'n_stage': net.n_stage,
+                    'precision': _precision_raw,
+                    'int8_kernel': 'packed_int8' in net.mlp_weights})
             elif self.path == '/metrics':
                 lat = list(batcher.latencies_s)
                 self._reply(200, {

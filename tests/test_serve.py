@@ -56,6 +56,8 @@ def test_healthz(server):
     h = _get(server.port, '/healthz')
     assert h['status'] == 'ok'
     assert h['net'] == 'monoloco_pp' and h['hidden'] == 64
+    # Serving-precision observability: default process => no int8 kernel.
+    assert h['precision'] == 'default' and h['int8_kernel'] is False
 
 
 def test_predict_single(server):
