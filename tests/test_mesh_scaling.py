@@ -18,11 +18,21 @@ sys.path.insert(0, os.path.join(REPO, 'tools'))
 @pytest.mark.slow
 def test_dp_sharding_adds_no_serialization():
     from bench_mesh_scaling import run_child
-    walls = {dp: run_child(dp, batch=4096, hidden=256, reps=3,
-                           what='train')['median_ms']
-             for dp in (1, 8)}
-    ratio = walls[8] / walls[1]
+
+    def ratio_once():
+        walls = {dp: run_child(dp, batch=4096, hidden=256, reps=3,
+                               what='train')['median_ms']
+                 for dp in (1, 8)}
+        return walls[8] / walls[1]
+
     # 1.02 measured; 1.6 leaves room for CI-runner noise while still
     # catching a sharding that serializes (which would land near 8x the
-    # per-shard fixed overhead, >2x in practice).
+    # per-shard fixed overhead, >2x in practice). A single re-measure
+    # absorbs transient host contention (dp8 spreads over 8 virtual devices
+    # on however many cores exist, so a busy co-tenant inflates it far more
+    # than dp1 — observed 1.7x on a 1-core box running a background
+    # pipeline); a real serialization bug fails BOTH measurements.
+    ratio = ratio_once()
+    if ratio > 1.6:
+        ratio = ratio_once()
     assert ratio <= 1.6, f'dp8/dp1 step-wall ratio {ratio:.2f}'

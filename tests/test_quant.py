@@ -95,3 +95,47 @@ def test_synthetic_calibration_inputs_shapes():
     assert x68.shape[1] == 68 and x68.shape[0] >= 64
     x34b = synthetic_calibration_inputs(34, n=64)
     np.testing.assert_array_equal(np.asarray(x34), np.asarray(x34b))
+
+
+def test_dyn8_serving_tracks_f32_on_trained_model(tmp_path):
+    """The SERVED int8 kernel (dynamic per-row, interpret mode here) on a
+    trained checkpoint and real keypoints: decoded distances within a tight
+    budget of f32. This is the CI-scale shadow of the full-volume end-metric
+    study (tools/int8_eval_parity.py: ALE delta -0.03% mono / +0.16% stereo)
+    — the check class whose absence let the static-calibrated kernel's +69%
+    ALE failure go unnoticed for half a round."""
+    from monoloco_tpu.train import Trainer
+    from monoloco_tpu.models import fold_eval_params, folded_forward
+    from monoloco_tpu.ops import pack_folded_weights_w8, fused_loco_forward_dyn8
+    from monoloco_tpu.network.preprocess import (preprocess_pifpaf,
+                                                 load_calibration,
+                                                 preprocess_monoloco)
+    from monoloco_tpu.network.decode import extract_outputs
+
+    args = argparse.Namespace(
+        joints=JOINTS, mode='mono', out=str(tmp_path / 'd.pkl'), epochs=5,
+        bs=64, dropout=0.2, lr=0.002, sched_step=30, sched_gamma=0.98,
+        hidden_size=128, n_stage=2, r_seed=1, auto_tune_mtl=False,
+        no_save=True, print_loss=False)
+    t = Trainer(args)
+    t.train()
+    folded = fold_eval_params(t.params, t.bn_state, arch='loco')
+
+    with open(os.path.join(HERE, 'fixture_002282.pifpaf.json')) as f:
+        anns = json.load(f)
+    _, kps = preprocess_pifpaf(anns, im_size=(1238, 374))
+    kk = load_calibration('kitti', (1238, 374))
+    x = preprocess_monoloco(jnp.asarray(np.asarray(kps)), jnp.asarray(kk))
+
+    packed = pack_folded_weights_w8(folded)
+    raw_f = jnp.asarray(folded_forward(folded, x, arch='loco'))
+    raw_q = fused_loco_forward_dyn8(packed, x, tile=128, interpret=True)
+    d_f = np.asarray(extract_outputs(raw_f)['d']).ravel()
+    d_q = np.asarray(extract_outputs(raw_q)['d']).ravel()
+    rel = np.abs(d_f - d_q) / np.maximum(np.abs(d_f), 0.5)
+    # Far tighter than the static route's budget (3%/10% in the test above):
+    # per-row scales hold under any input distribution.
+    assert rel.mean() < 0.01, rel
+    assert rel.max() < 0.03, rel
+    b_q = np.asarray(extract_outputs(jnp.asarray(raw_q))['bi']).ravel()
+    assert np.all(np.isfinite(b_q))
