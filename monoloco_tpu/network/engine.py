@@ -155,22 +155,54 @@ class Loco:
         # in-kernel.
         self.mlp_weights = {'folded': self.folded}
         if _INT8 and self.arch == 'loco' and linear_size % 128 == 0:
-            if mesh is not None:
-                # A pallas_call has no SPMD partitioning rule: inside the
-                # mesh-sharded batch program XLA would either reject the
-                # Mosaic custom call or all-gather and replicate it, silently
-                # negating both the dp speedup and the kernel win. Serve bf16
-                # XLA (fully partitionable) and say so.
+            if mesh is not None and not self._dp_only_mesh():
+                # A pallas_call has no GSPMD partitioning rule, so the kernel
+                # cannot sit inside a tensor-parallel ('model'-axis) program:
+                # XLA would either reject the Mosaic custom call or all-gather
+                # and replicate it, negating both the tp split and the kernel
+                # win. Serve bf16 XLA (fully partitionable) and say so.
+                # Data-parallel-only meshes ARE served: the batch programs
+                # wrap in shard_map over 'data', so each device runs the
+                # measured single-chip kernel on its local batch shard.
                 warnings.warn(
                     "MONOLOCO_TPU_PRECISION=int8 is ignored under a device "
-                    "mesh (--dp_devices): the fused kernel cannot be GSPMD-"
-                    "partitioned. Serving the bf16 XLA path instead.",
+                    "mesh with non-data axes: the fused kernel cannot be "
+                    "GSPMD-partitioned across the model axis. Serving the "
+                    "bf16 XLA path instead.",
                     RuntimeWarning)
             else:
                 from ..ops import pack_folded_weights_w8
                 self.mlp_weights['packed_int8'] = pack_folded_weights_w8(
                     self.folded)
         self._infer_cache = {}
+
+    def _dp_only_mesh(self):
+        """True when self.mesh shards over the 'data' axis alone (every other
+        axis trivial) — the only layout the fused int8 kernel serves under."""
+        from ..parallel.mesh import DATA_AXIS
+        return (self.mesh is not None
+                and DATA_AXIS in self.mesh.axis_names
+                and all(self.mesh.shape[a] == 1 for a in self.mesh.axis_names
+                        if a != DATA_AXIS))
+
+    def _maybe_shard_map(self, program, n_batch_args):
+        """Wrap a whole-batch program in shard_map over the data axis when the
+        int8 kernel is packed under a dp mesh (a pallas_call has no GSPMD rule,
+        but it is trivially data-parallel: shard_map runs the SAME measured
+        single-chip kernel per device on its local shard — reference has no
+        counterpart; the bf16 path keeps plain GSPMD via input shardings)."""
+        if self.mesh is None or 'packed_int8' not in self.mlp_weights:
+            return program
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+        batch_spec = P(DATA_AXIS)
+        # check_vma=False: pallas_call does not declare varying-mesh-axes
+        # metadata, and the program needs no cross-shard collectives anyway
+        # (per-image independence makes replication checking vacuous here).
+        return jax.shard_map(
+            program, mesh=self.mesh,
+            in_specs=(P(),) + (batch_spec,) * n_batch_args,
+            out_specs=batch_spec, check_vma=False)
 
     # ------------------------------------------------------------------
     # Jitted end-to-end device programs (cached per bucket)
@@ -321,7 +353,7 @@ class Loco:
                     return extract_outputs_mono(raw)
                 return extract_outputs(raw)
 
-        return jax.jit(program)
+        return jax.jit(self._maybe_shard_map(program, n_batch_args=2))
 
     def _batch_stereo_program(self):
         """Whole-batch MonStereo: the m x r all-vs-all expansion, MLP, and
@@ -347,7 +379,7 @@ class Loco:
                     out4, best[:, :, None, None], axis=2)[:, :, 0, :]
                 return extract_outputs(selected.reshape(b * m, -1))
 
-        return jax.jit(program)
+        return jax.jit(self._maybe_shard_map(program, n_batch_args=4))
 
     def _batch_mc_program(self):
         """Epistemic MC-dropout over a whole image batch: the per-image MC

@@ -205,8 +205,10 @@ def make_handler(batcher, net, timeout_s=60.0):
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path == '/healthz':
                 # 'precision' tells operators which serving path actually
-                # engaged (int8 falls back to bf16 under a mesh — engine
-                # warns at init, and this is the observable confirmation).
+                # engaged (int8 falls back to bf16 under a mesh with a
+                # non-trivial model axis — engine warns at init, and this is
+                # the observable confirmation; dp-only meshes serve the
+                # kernel via shard_map).
                 from .utils.precision import _RAW as _precision_raw
                 self._reply(200, {
                     'status': 'ok', 'net': net.net, 'mode': net.mode,

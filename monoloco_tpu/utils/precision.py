@@ -8,7 +8,7 @@ MONOLOCO_TPU_PRECISION selects the precision XLA uses for matmuls on TPU:
              RALP-5% study in BASELINE.md).
   bfloat16 / tensorfloat32   explicit lower precisions.
 Aliases f32/fp32/bf16 normalize to the jax.default_matmul_precision spellings;
-int8 selects the weight-only int8 fused serving kernel (ops/fused_mlp.py) and
+int8 selects the fused DYNAMIC-int8 serving kernel (ops/fused_mlp.py) and
 maps to 'default' for the float programs around it (int8-a8/int8-xla are
 bench-only ablations).
 
@@ -24,14 +24,15 @@ MATMUL_PRECISION = {'f32': 'float32', 'fp32': 'float32', 'bf16': 'bfloat16',
                     'int8': 'default', 'int8-a8': 'default',
                     'int8-xla': 'default'}.get(_RAW, _RAW)
 PIN_F32 = MATMUL_PRECISION in ('float32', 'highest')
-# int8 selects the fused WEIGHT-ONLY int8 (w8a16) Pallas serving kernel
-# (ops/fused_mlp.py pack_folded_weights_w8): streamed weights stored int8
-# (half the HBM DMA bytes), bf16 MXU matmuls, no calibration — parity-grade
-# at 0.22% mean decoded-distance deviation on a trained full-volume
-# checkpoint (tools/int8_eval_parity.py, PARITY.md round-4). 'int8-a8' and
-# 'int8-xla' are bench-only ablations of the full-int8 scheme (static
-# activation calibration — NOT parity-grade). Opt-in: bf16 XLA stays the
-# default.
+# int8 selects the fused DYNAMIC-int8 Pallas serving kernel
+# (ops/fused_mlp.py pack_folded_weights_w8 + fused_loco_forward_dyn8):
+# streamed weights stored int8 (half the HBM DMA bytes), activations
+# quantized in-kernel with per-ROW scales, int8 MXU matmuls, no calibration —
+# parity-grade on the END metric (full-volume ALE delta -0.03%/+0.03% mono,
+# +0.16% stereo; tools/int8_eval_parity.py, PARITY.md round-4) and 1.25x
+# bf16-XLA same-session. 'int8-a8' (static activation calibration — NOT
+# parity-grade, ALE +69% under distribution shift) and 'int8-xla' are
+# bench-only ablations. Opt-in: bf16 XLA stays the default.
 INT8 = _RAW == 'int8'
 
 

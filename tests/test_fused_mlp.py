@@ -203,12 +203,46 @@ class TestEngineInt8Routing:
         small = np.asarray(engine._mlp_forward(net.mlp_weights, x[:8], 'loco'))
         np.testing.assert_allclose(small, out_xla[:8], atol=1e-5)
 
-    def test_mesh_disables_int8_with_warning(self, monkeypatch):
-        import warnings as _w
+    def test_tp_mesh_disables_int8_with_warning(self, monkeypatch):
+        """A pallas_call has no GSPMD rule, so a mesh with a non-trivial
+        'model' axis refuses int8 (bf16 XLA remains fully partitionable)."""
         from monoloco_tpu.network import engine
-        from monoloco_tpu.parallel import make_mesh
+        from monoloco_tpu.parallel import make_mesh_2d
         monkeypatch.setattr(engine, '_INT8', True)
-        mesh = make_mesh(jax.devices()[:1])
+        mesh = make_mesh_2d(dp=1, tp=2)
         with pytest.warns(RuntimeWarning, match='ignored under a device mesh'):
             net = self._net(mesh=mesh)
         assert 'packed_int8' not in net.mlp_weights
+
+    def test_dp_mesh_serves_int8_via_shard_map(self, monkeypatch):
+        """Data-parallel-only meshes serve the fused kernel: the batch
+        program wraps in shard_map over 'data', each device running the
+        single-chip kernel on its local image shard. The sharded int8 batch
+        output must match the unsharded int8 path exactly (same kernel, same
+        per-shard rows) and track the bf16 XLA path within quant tolerance."""
+        from monoloco_tpu.network import engine
+        from monoloco_tpu.parallel import make_mesh
+        monkeypatch.setattr(engine, '_INT8', True)
+        # Shrink the routing gate so CI-size batches exercise the kernel.
+        monkeypatch.setattr(engine, '_INT8_MIN_ROWS', 8)
+        mesh = make_mesh(jax.devices()[:4])
+        net_mesh = self._net(mesh=mesh)
+        assert 'packed_int8' in net_mesh.mlp_weights
+        net_single = self._net()
+        rng = np.random.RandomState(7)
+        kps = [rng.rand(3, 3, 17).astype(np.float32) * 200 for _ in range(6)]
+        kks = [np.array([[720., 0., 600.], [0., 720., 180.], [0., 0., 1.]],
+                        np.float32)] * 6
+        out_mesh = net_mesh.forward_batch(kps, kks)
+        out_single = net_single.forward_batch(kps, kks)
+        net_bf16 = self._net()
+        net_bf16.mlp_weights = {'folded': net_bf16.folded}   # force XLA path
+        out_xla = net_bf16.forward_batch(kps, kks)
+        for i in range(6):
+            np.testing.assert_allclose(out_mesh[i]['xyzd'],
+                                       out_single[i]['xyzd'],
+                                       rtol=0, atol=1e-5)
+            d_mesh = np.asarray(out_mesh[i]['xyzd'])[:, 3]
+            d_xla = np.asarray(out_xla[i]['xyzd'])[:, 3]
+            rel = np.abs(d_mesh - d_xla) / np.maximum(np.abs(d_xla), 0.5)
+            assert rel.mean() < 0.03, rel.mean()
