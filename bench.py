@@ -58,6 +58,13 @@ def _require_live_backend(timeout_s):
 # CI-guarded on a trained checkpoint, tests/test_serve.py) — and report the
 # faster as the headline, with both values labeled in the same JSON line.
 PRECISION = os.environ.get('MONOLOCO_TPU_PRECISION')
+# An unrecognized value (e.g. 'int8-dyn' copied from the bench's own output
+# label) would silently measure the bf16 path while labeling the JSON record
+# with the bogus value — fail loudly instead.
+_KNOWN_PRECISIONS = {'bf16', 'f32', 'int8', 'int8-a8', 'int8-xla'}
+if PRECISION is not None and PRECISION not in _KNOWN_PRECISIONS:
+    sys.exit(f"MONOLOCO_TPU_PRECISION={PRECISION!r} is not a bench "
+             f"configuration; known: {sorted(_KNOWN_PRECISIONS)}")
 
 
 def _measure(folded_f32, precision):

@@ -193,27 +193,36 @@ def fused_loco_forward(folded, x, dtype=jnp.bfloat16, tile=512, packed=None,
 
 # ---------------------------------------------------------------------------
 # Int8 variants: the streamed H x H weights stored int8 (half the HBM DMA
-# bytes of bf16 — the dominant cost at serving batch sizes), in two flavors:
+# bytes of bf16 — the dominant cost at serving batch sizes), in THREE
+# activation flavors sharing one kernel (_kernel_int8 act_mode):
 #
-#  - w8a16 (pack_folded_weights_w8, act_quant=False): weight-only int8.
-#    Weight tiles convert int8 -> bf16 in VMEM (VPU work overlapped with the
-#    MXU), matmuls run bf16 with f32 accumulation, and the per-output-channel
-#    weight scale is applied to the matmul OUTPUT — exactly equivalent to
-#    dequantizing the weights, but costs tile*H multiplies instead of H*H and
-#    avoids a second rounding through bf16. Needs NO calibration; measured
-#    0.22% mean / 0.69% p99 relative decoded-distance deviation on a trained
-#    full-volume checkpoint — parity-grade (tools/int8_eval_parity.py). This
-#    is what MONOLOCO_TPU_PRECISION=int8 serves.
+#  - 'dynamic' (fused_loco_forward_dyn8, pack_folded_weights_w8): a8w8 with
+#    per-ROW activation scales computed in-kernel (a VPU row-max overlapped
+#    with the MXU), int8 x int8 MXU matmuls (2x the bf16 peak), NO
+#    calibration. Measured 11.61M vs 9.30M bf16-XLA same-session (1.25x) at
+#    end-metric parity (full-volume ALE delta −0.03% mono / +0.16% stereo,
+#    tools/int8_eval_parity.py). THIS is what MONOLOCO_TPU_PRECISION=int8
+#    serves (engine.py _mlp_forward).
 #
-#  - a8w8 (pack_folded_weights_int8, act_quant=True): full int8 — activations
-#    quantized in-kernel with static per-tensor scales calibrated on a
-#    representative batch, int8 x int8 MXU matmuls (2x the bf16 peak).
-#    Faster in principle, but static activation calibration is NOT
-#    parity-grade on trained checkpoints: synthetic calibration overestimated
-#    real activation ranges ~13x (≈3.3 effective bits, 6.5% mean per-row
-#    distance deviation, ALE +69% at full volume — tools/int8_eval_parity.py
-#    round-4), and even real-data calibration measures 2.8% mean. Kept as a
-#    measured ablation only (bench.py MONOLOCO_TPU_PRECISION=int8-a8).
+#  - 'none' = w8a16 (fused_loco_forward_w8, pack_folded_weights_w8):
+#    weight-only int8. Weight tiles convert int8 -> bf16 in VMEM, matmuls run
+#    bf16 with f32 accumulation, and the per-output-channel weight scale is
+#    applied to the matmul OUTPUT — exactly equivalent to dequantizing the
+#    weights, but costs tile*H multiplies instead of H*H and avoids a second
+#    rounding through bf16. Parity-grade (0.22% mean decoded-distance
+#    deviation) but LOSES to bf16 XLA end-to-end (8.16M, 0.88x — the win is
+#    the int8 MXU, not the DMA halving). Measured ablation only
+#    (bench.py does not expose it; tools/bench_pallas_int8.py does).
+#
+#  - 'static' = a8w8 (fused_loco_forward_int8, pack_folded_weights_int8):
+#    activations quantized with static per-tensor scales calibrated on a
+#    representative batch. Fastest first cut (12.47M) but static calibration
+#    is NOT parity-grade on trained checkpoints: synthetic calibration
+#    overestimated real activation ranges ~13x (≈3.3 effective bits, 6.5%
+#    mean per-row distance deviation, ALE +69% at full volume —
+#    tools/int8_eval_parity.py round-4), and even real-data calibration
+#    measures 2.8% mean. Kept as a measured ablation only
+#    (bench.py MONOLOCO_TPU_PRECISION=int8-a8).
 #
 # Rationale (VERDICT r3 item 4): the XLA int8 path (ops/quant.py) measured
 # SLOWER than bf16 end-to-end (9.22M vs 9.33M) because the per-layer

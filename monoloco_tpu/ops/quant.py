@@ -12,12 +12,13 @@ showed STATIC activation calibration is not parity-grade on trained
 checkpoints: synthetic calibration overestimates real activation ranges
 ~13x (≈3.3 effective bits, 6.5% mean per-row distance deviation, ALE +69%),
 and even real-data per-tensor calibration measures 2.8% mean. What
-`MONOLOCO_TPU_PRECISION=int8` actually serves is therefore the WEIGHT-ONLY
-int8 kernel (w8a16, ops/fused_mlp.py pack_folded_weights_w8 — no activation
-quantization, no calibration, 0.22% mean deviation). This module survives
-as the a8w8 quantization scheme for the `int8-a8` / `int8-xla` bench
-ablations and their accuracy tests. The reference has no counterpart
-(torch f32 only).
+`MONOLOCO_TPU_PRECISION=int8` actually serves is therefore the DYNAMIC
+per-row a8w8 kernel (ops/fused_mlp.py pack_folded_weights_w8 +
+fused_loco_forward_dyn8 — activations quantized in-kernel with per-ROW
+scales, no calibration; end-metric parity verified, PARITY.md round-4).
+This module survives as the STATIC a8w8 quantization scheme for the
+`int8-a8` / `int8-xla` bench ablations and their accuracy tests. The
+reference has no counterpart (torch f32 only).
 
 Scheme (standard symmetric PTQ):
  - weights: per-output-channel int8, scale = max|w| / 127 over each column;
