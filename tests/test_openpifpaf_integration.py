@@ -81,6 +81,7 @@ def test_predict_mono_through_live_pifpaf(tmp_path):
         auto_tune_mtl=False, no_save=False, print_loss=False)
     t = Trainer(targs)
     t.train()
+    t.evaluate()                # the checkpoint is written here, not in train()
 
     image = str(tmp_path / 'im.png')
     shutil.copy(FIXTURE_IMAGE, image)
