@@ -94,6 +94,10 @@ class Batcher:
         self.n_shed = 0
         self.batch_sizes = deque(maxlen=1000)
         self.latencies_s = deque(maxlen=1000)
+        # Wall time of the device round trip per dispatch (launch + execute +
+        # fetch) — how an int8-vs-bf16 difference shows on the serving surface
+        # even when end-to-end RPS is host-bound.
+        self.device_s = deque(maxlen=1000)
         self._thread = threading.Thread(target=self._collate, daemon=True)
         self._thread.start()
 
@@ -158,8 +162,10 @@ class Batcher:
         stereo = self.net.net == 'monstereo'
         kps_r = [b.keypoints_r for b in batch] if stereo else None
         try:
+            t_dev = time.perf_counter()
             finalize = self.net.forward_batch_async(kps, kks, kps_r)
             outs = finalize()
+            self.device_s.append(time.perf_counter() - t_dev)
         except Exception as exc:  # noqa: BLE001 — surfaced per-request as 500
             for b in batch:
                 b.error = repr(exc)
@@ -208,15 +214,36 @@ def make_handler(batcher, net, timeout_s=60.0):
                 # engaged (int8 falls back to bf16 under a mesh with a
                 # non-trivial model axis — engine warns at init, and this is
                 # the observable confirmation; dp-only meshes serve the
-                # kernel via shard_map).
+                # kernel via shard_map). A PACKED kernel can still be DORMANT:
+                # only dispatches of >= int8_min_rows MLP rows route to it
+                # (the measured crossover, engine.py), so 'int8' reports the
+                # packed flag AND the live dispatch counters — an operator
+                # watching int8_dispatches stay 0 under load knows the flag
+                # is not buying anything at that request shape.
                 from .utils.precision import _RAW as _precision_raw
+                from .network.engine import _INT8_MIN_ROWS
+                packed = 'packed_int8' in getattr(net, 'mlp_weights', {})
+                n_int8 = getattr(net, 'n_dispatches_int8', 0)
+                if not packed:
+                    status = 'off'
+                elif n_int8 > 0:
+                    status = 'active'
+                else:
+                    status = 'packed-dormant (no dispatch has reached '\
+                             f'{_INT8_MIN_ROWS} rows yet)'
                 self._reply(200, {
                     'status': 'ok', 'net': net.net, 'mode': net.mode,
                     'hidden': net.linear_size, 'n_stage': net.n_stage,
                     'precision': _precision_raw,
-                    'int8_kernel': 'packed_int8' in net.mlp_weights})
+                    'int8_kernel': packed,
+                    'int8': {'status': status,
+                             'min_rows': _INT8_MIN_ROWS,
+                             'dispatches_int8': n_int8,
+                             'dispatches_total': getattr(
+                                 net, 'n_dispatches', 0)}})
             elif self.path == '/metrics':
                 lat = list(batcher.latencies_s)
+                dev = list(batcher.device_s)
                 self._reply(200, {
                     'requests': batcher.n_requests,
                     'batches': batcher.n_batches,
@@ -226,10 +253,16 @@ def make_handler(batcher, net, timeout_s=60.0):
                     'mean_batch': (sum(batcher.batch_sizes)
                                    / max(1, len(batcher.batch_sizes))),
                     'max_batch': max(batcher.batch_sizes, default=0),
+                    'int8_dispatches': getattr(net, 'n_dispatches_int8', 0),
+                    'dispatches': getattr(net, 'n_dispatches', 0),
                     'latency_ms': None if not lat else {
                         'p50': round(_percentile(lat, 50) * 1e3, 3),
                         'p90': round(_percentile(lat, 90) * 1e3, 3),
-                        'p99': round(_percentile(lat, 99) * 1e3, 3)}})
+                        'p99': round(_percentile(lat, 99) * 1e3, 3)},
+                    'device_ms': None if not dev else {
+                        'p50': round(_percentile(dev, 50) * 1e3, 3),
+                        'p90': round(_percentile(dev, 90) * 1e3, 3),
+                        'p99': round(_percentile(dev, 99) * 1e3, 3)}})
             else:
                 self._reply(404, {'error': 'unknown path'})
 

@@ -246,3 +246,21 @@ class TestEngineInt8Routing:
             d_xla = np.asarray(out_xla[i]['xyzd'])[:, 3]
             rel = np.abs(d_mesh - d_xla) / np.maximum(np.abs(d_xla), 0.5)
             assert rel.mean() < 0.03, rel.mean()
+
+
+def test_dyn8_batch_size_independent(folded):
+    """Per-ROW dynamic quantization has no batch-size failure mode: row i's
+    output depends only on row i (its own row-max scale, its own matmul
+    rows), so the SAME rows produce bit-identical results whether dispatched
+    as a small batch or embedded in a large one. This is the numerics leg of
+    the routing-floor decision (engine._INT8_MIN_ROWS is a measured SPEED
+    crossover, not a numerics gate — engine.py:75)."""
+    from monoloco_tpu.ops import pack_folded_weights_w8, fused_loco_forward_dyn8
+    packed = pack_folded_weights_w8(folded)
+    big = jax.random.normal(jax.random.PRNGKey(7), (512, 34))
+    out_big = np.asarray(
+        fused_loco_forward_dyn8(packed, big, tile=128, interpret=True))
+    for m in (8, 32, 128):
+        out_small = np.asarray(fused_loco_forward_dyn8(
+            packed, big[:m], tile=128, interpret=True))
+        np.testing.assert_array_equal(out_small, out_big[:m])

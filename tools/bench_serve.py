@@ -93,6 +93,73 @@ def run_sweep(args, port, body):
         print(json.dumps(rec), flush=True)
 
 
+def run_direct_sweep(args, net, Batcher):
+    """Open-loop offered-load sweep CALLING Batcher.submit() directly — no
+    HTTP, no per-request handler threads. The stdlib HTTP layer saturates at
+    ~120 req/s on a 1-core host (PARITY.md), which kept the 503 backpressure
+    path from engaging at production shapes; this mode characterizes the
+    device queue itself: a single pacing thread offers requests at a fixed
+    rate, the bounded queue + collator + device dispatch do the rest, and
+    shed counts come straight from submit() returning None (VERDICT r4
+    item 7). Latency percentiles come from the batcher's own enqueue->done
+    clock; device_ms is the per-dispatch device round trip."""
+    rng = np.random.RandomState(0)
+    kps = np.asarray(rng.rand(args.dets, 3, 17) * 300, np.float32)
+    kk = np.asarray(KK, np.float32)
+
+    batcher = Batcher(net, window_ms=args.window_ms, max_batch=args.max_batch,
+                      max_queue=args.max_queue)
+    for rps in (float(x) for x in args.sweep.split(',')):
+        batcher.latencies_s.clear()
+        batcher.device_s.clear()
+        batcher.batch_sizes.clear()
+        shed = accepted = 0
+        pending = []
+        interval = 1.0 / rps
+        t0 = time.perf_counter()
+        n_fired = 0
+        while time.perf_counter() - t0 < args.duration:
+            target = t0 + n_fired * interval
+            delay = target - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+            r = batcher.submit(kps, kk)
+            n_fired += 1
+            if r is None:
+                shed += 1
+            else:
+                accepted += 1
+                pending.append(r)
+        for r in pending:
+            r.event.wait(timeout=120)
+        wall = time.perf_counter() - t0
+        lat = sorted(batcher.latencies_s)
+        dev = sorted(batcher.device_s)
+        sizes = list(batcher.batch_sizes)
+        rec = {
+            'offered_rps': rps, 'fired': n_fired, 'ok': accepted,
+            'shed': shed, 'achieved_rps': round(accepted / wall, 1),
+            'mean_batch': round(sum(sizes) / max(1, len(sizes)), 2),
+            'max_batch': max(sizes, default=0),
+        }
+        if lat:
+            n = len(lat)
+            rec['latency_ms'] = {
+                'p50': round(lat[n // 2] * 1e3, 2),
+                'p99': round(lat[int(0.99 * (n - 1))] * 1e3, 2)}
+        if dev:
+            n = len(dev)
+            rec['device_ms'] = {
+                'p50': round(dev[n // 2] * 1e3, 2),
+                'p99': round(dev[int(0.99 * (n - 1))] * 1e3, 2)}
+        print(json.dumps(rec), flush=True)
+    batcher.stop()
+    print(json.dumps({
+        'int8_dispatches': net.n_dispatches_int8,
+        'dispatches': net.n_dispatches,
+        'int8_kernel_packed': 'packed_int8' in net.mlp_weights}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--model', default=None,
@@ -112,6 +179,15 @@ def main():
                          'the backpressure curve for PARITY.md')
     ap.add_argument('--duration', type=float, default=10.0,
                     help='seconds per sweep level')
+    ap.add_argument('--direct', action='store_true',
+                    help='with --sweep: offer load to the Batcher directly '
+                         '(no HTTP), characterizing the device queue and the '
+                         'shed path without the thread-per-connection HTTP '
+                         'ceiling')
+    ap.add_argument('--expect-int8', action='store_true',
+                    help='exit nonzero unless the fused int8 kernel actually '
+                         'routed at least one dispatch (guards against '
+                         'measuring bf16 while labeling the run int8)')
     args = ap.parse_args()
 
     from monoloco_tpu.utils import enable_compilation_cache
@@ -128,6 +204,34 @@ def main():
     else:
         params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 1024, 3)
         net = Loco((params, bn), mode='mono')
+
+    def check_int8_engagement():
+        print(f'int8: packed={"packed_int8" in net.mlp_weights} '
+              f'dispatches_int8={net.n_dispatches_int8}/{net.n_dispatches}',
+              flush=True)
+        if args.expect_int8 and net.n_dispatches_int8 == 0:
+            raise SystemExit('--expect-int8: the fused int8 kernel never '
+                             'routed (dispatch rows stayed below the '
+                             'crossover floor, or the kernel is not packed)')
+
+    if args.direct:
+        assert args.sweep, '--direct requires --sweep rates'
+        from monoloco_tpu.serve import Batcher
+        # Pre-compile every bucket the sweep can hit (as the HTTP sweep does).
+        print('warming all batch buckets...', flush=True)
+        kps1 = np.zeros((args.dets, 3, 17), np.float32)
+        b = 1
+        while b <= args.max_batch:
+            net.forward_batch([kps1] * b, [np.asarray(KK, np.float32)] * b)
+            b *= 2
+        if b // 2 != args.max_batch:
+            net.forward_batch([kps1] * args.max_batch,
+                              [np.asarray(KK, np.float32)] * args.max_batch)
+        net.n_dispatches = net.n_dispatches_int8 = 0   # exclude warmup
+        run_direct_sweep(args, net, Batcher)
+        check_int8_engagement()
+        return
+
     server = Server(net, port=0, window_ms=args.window_ms,
                     max_batch=args.max_batch, max_queue=args.max_queue)
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -164,6 +268,7 @@ def main():
                               [np.asarray(KK, np.float32)] * args.max_batch)
         run_sweep(args, port, body)
         server.shutdown()
+        check_int8_engagement()
         return
 
     # Warm every batch bucket the load can hit (1..max_batch caps at the
@@ -216,7 +321,9 @@ def main():
             'p99': round(lat[int(0.99 * (n - 1))] * 1e3, 2)},
         'mean_batch': round(metrics['mean_batch'], 2),
         'max_batch': metrics['max_batch'],
+        'device_ms': metrics.get('device_ms'),
         'inferences_per_sec': round(n * args.dets / wall, 1)}))
+    check_int8_engagement()
 
 
 if __name__ == '__main__':
