@@ -156,51 +156,111 @@ class TestTrainGenerateEval:
         ev.eval_kitti()
         assert len(ev.all_pred['all']) > 0
 
-    def test_activity_eval_collective(self, in_root, trained):
-        """Talking evaluation on a synthetic Collective Activity mini dataset."""
-        import argparse
+    @staticmethod
+    def _make_collective_fixture(pif_dir):
+        """Synthesize a mini dataset in the REAL Collective Activity layout
+        (reference eval/eval_activity.py:39-47: data/activity/dataset/
+        {images,annotations} + per-image pifpaf predictions in dir_ann),
+        covering all six default sequences so the unmodified CLI path runs.
+
+        Every frame holds exactly ONE person, so social_interactions is
+        deterministically False regardless of the net's outputs (no second
+        person within threshold_dist -> no F-formation candidates), and the
+        expected accuracy/recall are hand-computable:
+
+          seq02: 3 frames, talking labels [0, 0, 1]  -> accuracy 2/3
+          seq14: 2 frames, labels [0, 0]             -> accuracy 1
+          seq12: 2 frames, labels [0, 0], frame 2 has EMPTY predictions
+                 (pifpaf found nobody)               -> 1/2 matched
+          seq13, seq11, seq36: 1 frame each, label 0 -> accuracy 1
+
+        Totals: 10 gt persons, 9 matched -> recall 90.00%; one mismatch
+        (seq02 frame 3: gt talking, predicted False) -> accuracy 8/9 = 88.89%.
+        """
         import json as jsonlib
         import numpy as np
         from PIL import Image
         from make_synthetic_kitti import make_person
 
-        seq = 'seq02'
         im_dir = os.path.join('data', 'activity', 'dataset', 'images')
         ann_gt_dir = os.path.join('data', 'activity', 'dataset', 'annotations')
-        pif_dir = 'collective_ann'
         for d in (im_dir, ann_gt_dir, pif_dir):
             os.makedirs(d, exist_ok=True)
 
+        plan = {          # seq -> [(talking_label, has_detection), ...]
+            'seq02': [(0, True), (0, True), (1, True)],
+            'seq14': [(0, True), (0, True)],
+            'seq12': [(0, True), (0, False)],
+            'seq13': [(0, True)],
+            'seq11': [(0, True)],
+            'seq36': [(0, True)],
+        }
         rng = np.random.RandomState(5)
-        gt_lines = []
-        for frame_i in (1, 2):
-            im_name = f'{seq}_frame{frame_i:04d}.jpg'
-            Image.new('RGB', (1242, 375), (80, 80, 80)).save(
-                os.path.join(im_dir, im_name))
-            anns = []
-            frame_key = f'{frame_i:03d}'   # extract_frame_number convention
-            for p, (x, z) in enumerate([(-0.8, 7.0), (0.8, 7.0), (6.0, 14.0)]):
+        for seq, frames in plan.items():
+            gt_lines = []
+            for frame_i, (label, has_det) in enumerate(frames, start=1):
+                im_name = f'{seq}_frame{frame_i:04d}.jpg'
+                Image.new('RGB', (1242, 375), (80, 80, 80)).save(
+                    os.path.join(im_dir, im_name))
+                frame_key = f'{frame_i:03d}'   # _frame_key convention
+                x, z = float(rng.uniform(-2, 2)), float(rng.uniform(6, 12))
                 flat, bbox, gt = make_person(x, z, rng)
-                anns.append({'keypoints': flat, 'bbox': bbox,
-                             'score': 0.9, 'category_id': 1})
                 b = gt['box']
-                cat = '6' if p < 2 else '1'   # first two are talking
+                cat = '6' if label else '1'    # category 6 == talking
                 gt_lines.append(f"{frame_key}\t{b[0]:.0f}\t{b[1]:.0f}"
                                 f"\t{b[2]-b[0]:.0f}\t{b[3]-b[1]:.0f}\t{cat}")
-            with open(os.path.join(pif_dir, im_name + '.predictions.json'), 'w') as f:
-                jsonlib.dump(anns, f)
-        with open(os.path.join(ann_gt_dir, f'{seq}_annotations.txt'), 'w') as f:
-            f.write('\n'.join(gt_lines) + '\n')
+                anns = ([{'keypoints': flat, 'bbox': bbox, 'score': 0.9,
+                          'category_id': 1}] if has_det else [])
+                with open(os.path.join(pif_dir,
+                                       im_name + '.predictions.json'), 'w') as f:
+                    jsonlib.dump(anns, f)
+            with open(os.path.join(ann_gt_dir,
+                                   f'{seq}_annotations.txt'), 'w') as f:
+                f.write('\n'.join(gt_lines) + '\n')
 
+    def test_activity_eval_collective(self, in_root, trained):
+        """Talking evaluation end-to-end on files in the real Collective
+        Activity layout, asserting hand-computed accuracy/recall."""
+        import argparse
         from monoloco_tpu.eval.eval_activity import ActivityEvaluator
+
+        pif_dir = 'collective_ann'
+        self._make_collective_fixture(pif_dir)
         args = argparse.Namespace(dir_ann=pif_dir, dataset='collective',
                                   mode='mono', model=trained, n_dropout=0,
                                   dropout=0.2)
         ev = ActivityEvaluator(args)
-        ev.sequences = [seq]
         ev.eval_collective()
-        assert len(ev.all_pred[seq]) > 0
-        assert len(ev.all_gt[seq]) == len(ev.all_pred[seq])
+
+        # Hand-computed tallies (see _make_collective_fixture docstring).
+        assert ev.cnt['gt']['all'] == 10
+        assert ev.cnt['pred']['all'] == 9          # seq12 frame 2 unmatched
+        assert ev.all_pred['all'] == [False] * 9   # single-person frames
+        assert sum(ev.all_gt['all']) == 1          # the talking gt in seq02
+        from monoloco_tpu.eval.eval_activity import accuracy_score
+        assert accuracy_score(ev.all_gt['all'], ev.all_pred['all']) == \
+            pytest.approx(8 / 9)
+        assert accuracy_score(ev.all_gt['seq02'], ev.all_pred['seq02']) == \
+            pytest.approx(2 / 3)
+        for seq in ('seq14', 'seq12', 'seq13', 'seq11', 'seq36'):
+            assert accuracy_score(ev.all_gt[seq], ev.all_pred[seq]) == 1.0
+
+    def test_activity_eval_collective_cli(self, in_root, trained, capsys,
+                                          monkeypatch):
+        """The same eval driven through the CLI surface
+        (`monoloco_tpu.run eval --activity --dataset collective`), asserting
+        the printed final accuracy/recall against the hand-computed values."""
+        pif_dir = 'collective_ann'
+        self._make_collective_fixture(pif_dir)
+        from monoloco_tpu import run as run_mod
+        monkeypatch.setattr(sys, 'argv', [
+            'monoloco_tpu.run', 'eval', '--activity', '--dataset',
+            'collective', '--dir_ann', pif_dir, '--model', trained,
+            '--mode', 'mono'])
+        run_mod.main()
+        out = capsys.readouterr().out
+        assert 'Final Accuracy: 88.89' in out
+        assert 'Final Recall:90.00' in out
 
     def test_predict_with_gt_matching(self, in_root, trained):
         """predict --path_gt: detections are matched against the names-json gt
