@@ -10,7 +10,7 @@ that directly: ONE trained checkpoint, the adversarial synthetic
 KITTI-volume dataset (same generator/seed as the head-to-head study),
 GenerateKitti + EvalKitti run twice — once bf16 (default serving path), once
 MONOLOCO_TPU_PRECISION=int8 (fused kernel; generation batches whole-image
-chunks, so row counts exceed the >=1024 kernel threshold) — plus a row-wise
+chunks, so row counts exceed the kernel's routing floor) — plus a row-wise
 diff of the two txt trees (same detections, same order, so per-row distance
 deltas isolate serving quantization exactly).
 
@@ -20,7 +20,7 @@ Usage: python tools/int8_eval_parity.py [root=/tmp/int8_parity]
 Env: IP_NTRAIN/IP_NVAL (default 2400/2400), IP_SEED (default 1),
      IP_EPOCHS (default 500), IP_MODE (mono|stereo, default mono — stereo
      runs the monstereo net whose m x r all-vs-all generation chunks also
-     clear the kernel's >=1024-row threshold).
+     clear the kernel's routing floor).
 Appends one JSON record to tools/int8_eval_parity_r4.jsonl (next to this
 file) and prints it.
 """
@@ -169,12 +169,13 @@ def main():
 
     diff = _txt_tree_diff(txt_dirs['bf16'], txt_dirs['int8'])
     # Engagement guard: the kernel only routes chunks whose row count
-    # (chunk_images x detection bucket) reaches the >=1024 threshold — if the
-    # two trees are byte-equal the int8 path never engaged and the "delta"
-    # would be a vacuous 0. Require a real difference.
+    # (chunk_images x detection bucket) reaches the routing floor
+    # (engine._INT8_MIN_ROWS) — if the two trees are byte-equal the int8
+    # path never engaged and the "delta" would be a vacuous 0. Require a
+    # real difference.
     assert diff['rows'] > 0 and diff['mean_rel_dd'] > 0, (
         'int8 kernel never engaged (txt trees identical) — dataset too '
-        'sparse for the >=1024-row threshold at generate chunk size')
+        'sparse to reach the routing floor at generate chunk size')
     ale_b, ale_q = metrics['bf16']['ale']['all'], metrics['int8']['ale']['all']
     rec = {
         'mode': MODE, 'n_train': NTRAIN, 'n_val': NVAL, 'seed': SEED,
