@@ -5,6 +5,7 @@ from .fused_mlp import (
     pack_folded_weights_int8,
     fused_loco_forward_w8,
     fused_loco_forward_dyn8,
+    fused_loco_forward_dyn8_resident,
     pack_folded_weights_w8,
 )
 from .quant import quantize_folded, quantized_forward

@@ -320,18 +320,55 @@ def pack_folded_weights_int8(folded, calib_x):
     )
 
 
-def _kernel_int8(x_ref, w0_ref, b0_ref, inv_in_ref, oscale_ref, bstack_ref,
-                 waux_ref, baux_ref, wfin_ref, bfin_ref, wstack_hbm, out_ref,
-                 wbuf, sems, *, n_mm, act_mode):
-    """Same streaming structure as _kernel, with the H x H weights streamed
-    as int8. act_mode selects the activation handling:
+def _int8_mm(act, w_tile, inv_in_i, oscale_i, b_i, act_mode):
+    """One quantized H x H matmul on an in-VMEM weight tile. act_mode:
       'static'  — quantize with the calibrated per-tensor scales, int8 MXU
                   (a8w8; ablation only — not parity-grade on trained nets);
       'dynamic' — quantize with per-ROW scales computed on the fly (row max
                   over the lane axis, a VPU reduction overlapped with the
                   MXU), int8 MXU; no calibration, inv_in unused;
       'none'    — convert the weight tile to bf16 and run bf16 matmuls
-                  (w8a16; inv_in unused)."""
+                  (w8a16; inv_in unused).
+    Shared by the streaming kernel (weights double-buffered from HBM) and
+    the resident kernel (whole int8 stack VMEM-resident), so the two paths
+    are numerically identical by construction."""
+    if act_mode == 'static':
+        # Static per-tensor activation scale (calibrated), round-half-even
+        # to match the XLA int8 path (ops/quant.py _quant_act).
+        qx = jnp.clip(jnp.round(act * inv_in_i), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            qx, w_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * oscale_i[None, :] + b_i[None, :]
+    if act_mode == 'dynamic':
+        # Per-row dynamic scale: each row uses its own full int8 range,
+        # so no calibration and no distribution-shift failure mode.
+        amax = jnp.max(jnp.abs(act), axis=1, keepdims=True)
+        s = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        qx = jnp.clip(jnp.round(act * (127.0 / jnp.maximum(amax, 1e-8))),
+                      -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            qx, w_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * (s * oscale_i[None, :])
+                + b_i[None, :])
+    # 'none' — weight-only: int8 values are exact in bf16 (8-bit
+    # mantissa), so the per-column scale moves to the f32 output
+    # unchanged.
+    acc = jax.lax.dot_general(
+        act.astype(jnp.bfloat16), w_tile.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return acc.astype(jnp.float32) * oscale_i[None, :] + b_i[None, :]
+
+
+def _kernel_int8(x_ref, w0_ref, b0_ref, inv_in_ref, oscale_ref, bstack_ref,
+                 waux_ref, baux_ref, wfin_ref, bfin_ref, wstack_hbm, out_ref,
+                 wbuf, sems, *, n_mm, act_mode):
+    """Same streaming structure as _kernel, with the H x H weights streamed
+    as int8 (see _int8_mm for the act_mode flavors)."""
 
     def start_load(idx, slot):
         pltpu.make_async_copy(wstack_hbm.at[idx], wbuf.at[slot], sems.at[slot]).start()
@@ -344,38 +381,8 @@ def _kernel_int8(x_ref, w0_ref, b0_ref, inv_in_ref, oscale_ref, bstack_ref,
         start_load(1, 1)
 
     def mm_int8(act, slot, idx):
-        if act_mode == 'static':
-            # Static per-tensor activation scale (calibrated), round-half-even
-            # to match the XLA int8 path (ops/quant.py _quant_act).
-            qx = jnp.clip(jnp.round(act * inv_in_ref[idx]), -127, 127).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                qx, wbuf[slot],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            return (acc.astype(jnp.float32) * oscale_ref[idx][None, :]
-                    + bstack_ref[idx][None, :])
-        if act_mode == 'dynamic':
-            # Per-row dynamic scale: each row uses its own full int8 range,
-            # so no calibration and no distribution-shift failure mode.
-            amax = jnp.max(jnp.abs(act), axis=1, keepdims=True)
-            s = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-            qx = jnp.clip(jnp.round(act * (127.0 / jnp.maximum(amax, 1e-8))),
-                          -127, 127).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                qx, wbuf[slot],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            return (acc.astype(jnp.float32) * (s * oscale_ref[idx][None, :])
-                    + bstack_ref[idx][None, :])
-        # 'none' — weight-only: int8 values are exact in bf16 (8-bit
-        # mantissa), so the per-column scale moves to the f32 output
-        # unchanged.
-        acc = jax.lax.dot_general(
-            act.astype(jnp.bfloat16), wbuf[slot].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return (acc.astype(jnp.float32) * oscale_ref[idx][None, :]
-                + bstack_ref[idx][None, :])
+        return _int8_mm(act, wbuf[slot], inv_in_ref[idx], oscale_ref[idx],
+                        bstack_ref[idx], act_mode)
 
     # Input projection: bf16 weights resident in VMEM, f32 accumulation.
     x = x_ref[:]
@@ -464,6 +471,101 @@ def _fused_call_int8(packed, x, tile, act_mode='static', interpret=False):
     )(x, w0, b0, inv_in, oscale, bstack, waux, baux, wfin, bfin, wq)
 
 
+def _kernel_int8_resident(x_ref, w0_ref, b0_ref, inv_in_ref, oscale_ref,
+                          bstack_ref, waux_ref, baux_ref, wfin_ref, bfin_ref,
+                          wstack_ref, out_ref, *, n_mm, act_mode):
+    """Resident-weight variant: the WHOLE int8 H x H stack lives in VMEM
+    (n_mm * H^2 bytes — 8 MB at hidden 1024, vs 16 MB bf16 which does NOT
+    fit, the reason the bf16 kernel had to stream). Mosaic fetches
+    constant-index blocks once, so weight HBM traffic drops from
+    n_tiles * stack to one stack per call; the math is _int8_mm, identical
+    to the streaming kernel by construction."""
+    def mm_int8(act, idx):
+        return _int8_mm(act, wstack_ref[idx], inv_in_ref[idx],
+                        oscale_ref[idx], bstack_ref[idx], act_mode)
+
+    x = x_ref[:]
+    y = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w0_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = jnp.maximum(y + b0_ref[:][None, :], 0.0)
+
+    n_stage = (n_mm - 2) // 2
+    idx = 0
+    for _ in range(n_stage):
+        h = jnp.maximum(mm_int8(y, idx), 0.0)
+        h = jnp.maximum(mm_int8(h, idx + 1), 0.0)
+        y = y + h
+        idx += 2
+
+    y2 = mm_int8(y, idx)
+    aux = jax.lax.dot_general(
+        y2.astype(jnp.bfloat16), waux_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + baux_ref[:][None, :]
+    y3 = jnp.maximum(mm_int8(y2, idx + 1), 0.0)
+    fin = jax.lax.dot_general(
+        y3.astype(jnp.bfloat16), wfin_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bfin_ref[:][None, :]
+
+    out_ref[:] = jnp.concatenate([fin, aux], axis=1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('tile', 'act_mode', 'interpret'))
+def _fused_call_int8_resident(packed, x, tile, act_mode='dynamic',
+                              interpret=False):
+    (w0, b0, wq, inv_in, oscale, bstack, waux, baux, wfin, bfin) = packed
+    batch, in_dim = x.shape
+    hidden = w0.shape[1]
+    n_mm = wq.shape[0]
+    out_dim = wfin.shape[1] + 1
+    n_tiles = batch // tile
+
+    kernel = functools.partial(_kernel_int8_resident, n_mm=n_mm,
+                               act_mode=act_mode)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, out_dim), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, in_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # inv_in
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # oscale
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bstack
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # waux
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # baux
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wfin
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bfin
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # whole int8 stack resident
+        ],
+        out_specs=pl.BlockSpec((tile, out_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * hidden * (in_dim + n_mm * hidden + out_dim),
+            bytes_accessed=n_mm * hidden * hidden      # loaded ONCE per call
+                           + batch * (in_dim + out_dim) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w0, b0, inv_in, oscale, bstack, waux, baux, wfin, bfin, wq)
+
+
+def fused_loco_forward_dyn8_resident(packed, x, tile=512, interpret=False):
+    """Dynamic-int8 fused forward with the int8 weight stack VMEM-RESIDENT
+    instead of double-buffer-streamed: candidate replacement for
+    fused_loco_forward_dyn8 pending the round-5 measurement
+    (tools/bench_int8_roofline.py). Numerically identical to the streaming
+    flavor (same _int8_mm math)."""
+    return _fused_int8_family(packed, x, tile, act_mode='dynamic',
+                              interpret=interpret, resident=True)
+
+
 def fused_loco_forward_int8(packed, x, tile=512, interpret=False):
     """Full-int8 (a8w8, static calibrated scales) fused forward on (m, in)
     inputs; packed from pack_folded_weights_int8. Pads to a tile multiple;
@@ -489,7 +591,7 @@ def fused_loco_forward_w8(packed, x, tile=512, interpret=False):
                               interpret=interpret)
 
 
-def _fused_int8_family(packed, x, tile, act_mode, interpret):
+def _fused_int8_family(packed, x, tile, act_mode, interpret, resident=False):
     hidden = packed[0].shape[1]
     if hidden % 128 != 0:
         raise ValueError(f"fused kernel requires hidden % 128 == 0, got {hidden}")
@@ -498,6 +600,6 @@ def _fused_int8_family(packed, x, tile, act_mode, interpret):
     padded = -(-m // tile) * tile
     if padded != m:
         x = jnp.concatenate([x, jnp.zeros((padded - m, x.shape[1]), x.dtype)])
-    out = _fused_call_int8(packed, x, tile, act_mode=act_mode,
-                           interpret=interpret)
+    call = _fused_call_int8_resident if resident else _fused_call_int8
+    out = call(packed, x, tile, act_mode=act_mode, interpret=interpret)
     return out[:m]

@@ -264,3 +264,18 @@ def test_dyn8_batch_size_independent(folded):
         out_small = np.asarray(fused_loco_forward_dyn8(
             packed, big[:m], tile=128, interpret=True))
         np.testing.assert_array_equal(out_small, out_big[:m])
+
+
+def test_dyn8_resident_matches_streaming(folded):
+    """The VMEM-resident dyn8 flavor is numerically identical to the served
+    streaming flavor (same _int8_mm math, different weight residency)."""
+    from monoloco_tpu.ops import (pack_folded_weights_w8,
+                                  fused_loco_forward_dyn8,
+                                  fused_loco_forward_dyn8_resident)
+    packed = pack_folded_weights_w8(folded)
+    x = jax.random.normal(jax.random.PRNGKey(11), (96, 34))
+    out_s = np.asarray(fused_loco_forward_dyn8(packed, x, tile=32,
+                                               interpret=True))
+    out_r = np.asarray(fused_loco_forward_dyn8_resident(packed, x, tile=32,
+                                                        interpret=True))
+    np.testing.assert_array_equal(out_s, out_r)
