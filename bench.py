@@ -80,13 +80,15 @@ def _measure(folded_f32, precision):
         if precision == 'int8':
             # What the engine serves under int8: the dynamic-int8 fused
             # kernel — halved weight DMA, per-row activation scales computed
-            # in-kernel, int8 MXU, no calibration.
+            # in-kernel, int8 MXU, no calibration. The auto selector matches
+            # the engine's routing exactly (VMEM-resident stack at the
+            # flagship hidden 1024, streaming above the budget).
             from monoloco_tpu.ops import (pack_folded_weights_w8,
-                                          fused_loco_forward_dyn8)
+                                          fused_loco_forward_dyn8_auto)
             weights = pack_folded_weights_w8(folded_f32)
 
             def mlp(w, inputs):
-                return fused_loco_forward_dyn8(w, inputs, tile=512)
+                return fused_loco_forward_dyn8_auto(w, inputs, tile=512)
         else:
             from monoloco_tpu.ops.quant import synthetic_calibration_inputs
             calib_x = synthetic_calibration_inputs(34, n=4096)

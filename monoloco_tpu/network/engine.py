@@ -58,9 +58,11 @@ LINEAR_SIZE_MONO = 256
 #    lives on as an ablation only (ops/fused_mlp.py +
 #    tools/bench_pallas_crossover.py).
 #  - MONOLOCO_TPU_PRECISION=int8: the fused DYNAMIC-int8 Pallas kernel —
-#    streamed weights stored int8 (half the HBM DMA bytes), activations
+#    weights stored int8 (half the HBM bytes; VMEM-RESIDENT at the flagship
+#    hidden 1024 where the 8 MB stack fits, double-buffer streamed above the
+#    budget — round-5 measurement, +6.9% resident over streaming), activations
 #    quantized in-kernel with per-ROW scales (a VPU row-max overlapped with
-#    the MXU), int8 MXU matmuls (2x bf16 peak), NO calibration. Measured
+#    the MXU), int8 MXU matmuls, NO calibration. Streaming flavor measured
 #    11.61M vs 9.30M bf16-XLA same-session (1.25x) and parity-grade on the
 #    end metric (tools/int8_eval_parity.py full-volume study, PARITY.md
 #    round-4). Round-4 history: the first-cut STATIC-calibrated kernel
@@ -104,8 +106,12 @@ def _mlp_forward(weights, inputs, arch):
     bare folded dict from direct callers."""
     if isinstance(weights, dict) and 'folded' in weights:
         if _int8_routes(weights, inputs.shape[0]):
-            from ..ops import fused_loco_forward_dyn8
-            return fused_loco_forward_dyn8(
+            # Auto picks the VMEM-resident flavor when the int8 stack fits
+            # (measured +6.9% over streaming at the flagship hidden 1024,
+            # round-5 tools/bench_int8_roofline.py) and double-buffer
+            # streaming otherwise; numerics identical either way.
+            from ..ops import fused_loco_forward_dyn8_auto
+            return fused_loco_forward_dyn8_auto(
                 weights['packed_int8'], inputs,
                 interpret=jax.default_backend() != 'tpu')
         return folded_forward(weights['folded'], inputs, arch=arch)

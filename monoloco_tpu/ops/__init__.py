@@ -6,6 +6,8 @@ from .fused_mlp import (
     fused_loco_forward_w8,
     fused_loco_forward_dyn8,
     fused_loco_forward_dyn8_resident,
+    fused_loco_forward_dyn8_auto,
+    dyn8_resident_eligible,
     pack_folded_weights_w8,
 )
 from .quant import quantize_folded, quantized_forward

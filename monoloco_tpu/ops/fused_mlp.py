@@ -558,12 +558,42 @@ def _fused_call_int8_resident(packed, x, tile, act_mode='dynamic',
 
 def fused_loco_forward_dyn8_resident(packed, x, tile=512, interpret=False):
     """Dynamic-int8 fused forward with the int8 weight stack VMEM-RESIDENT
-    instead of double-buffer-streamed: candidate replacement for
-    fused_loco_forward_dyn8 pending the round-5 measurement
-    (tools/bench_int8_roofline.py). Numerically identical to the streaming
-    flavor (same _int8_mm math)."""
+    instead of double-buffer-streamed. Numerically identical to the streaming
+    flavor (same _int8_mm math; tests/test_fused_mlp.py::
+    test_dyn8_resident_matches_streaming). Measured +6.9% over streaming
+    inside the full serving program at hidden 1024 (round 5,
+    tools/bench_int8_roofline.py: 11.29M vs 10.57M same-session) — the
+    n_tiles x 8 MB weight re-streaming the double-buffered kernel pays per
+    call drops to one stack load. The SERVED flavor whenever the stack fits
+    the VMEM budget; use fused_loco_forward_dyn8_auto for the routing."""
     return _fused_int8_family(packed, x, tile, act_mode='dynamic',
                               interpret=interpret, resident=True)
+
+
+# Resident-flavor budget: the int8 H x H stack must share VMEM with the tile
+# activations and head weights. 16 MB leaves >= 3/4 of the raised 96 MB scoped
+# limit free at tile 512 and covers hidden <= ~1408 (8 MB at the flagship
+# hidden 1024, n_mm 8). Beyond it, fall back to streaming — which the
+# double-buffered kernel handles at any size. Only hidden 1024 is measured;
+# the cap is deliberately conservative rather than tuned at sizes nobody
+# trains.
+_RESIDENT_MAX_STACK_BYTES = 16 * 1024 * 1024
+
+
+def dyn8_resident_eligible(packed):
+    """Whether the packed int8 weight stack fits the resident-flavor VMEM
+    budget (int8: one byte per element)."""
+    return packed[2].size <= _RESIDENT_MAX_STACK_BYTES
+
+
+def fused_loco_forward_dyn8_auto(packed, x, tile=512, interpret=False):
+    """THE served dyn8 entry point: VMEM-resident flavor when the int8 stack
+    fits the budget (measured faster — see fused_loco_forward_dyn8_resident),
+    double-buffer streaming otherwise. Both flavors share _int8_mm, so the
+    choice never changes numerics."""
+    return _fused_int8_family(packed, x, tile, act_mode='dynamic',
+                              interpret=interpret,
+                              resident=dyn8_resident_eligible(packed))
 
 
 def fused_loco_forward_int8(packed, x, tile=512, interpret=False):

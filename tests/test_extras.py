@@ -26,7 +26,7 @@ def test_int8_routing_policy(monkeypatch):
         return e.folded_forward(packed['folded'], inputs, arch='loco')
 
     import monoloco_tpu.ops as ops
-    monkeypatch.setattr(ops, 'fused_loco_forward_dyn8', fake_int8)
+    monkeypatch.setattr(ops, 'fused_loco_forward_dyn8_auto', fake_int8)
     import jax
     import jax.numpy as jnp
     from monoloco_tpu.models import init_loco_params, fold_eval_params

@@ -279,3 +279,26 @@ def test_dyn8_resident_matches_streaming(folded):
     out_r = np.asarray(fused_loco_forward_dyn8_resident(packed, x, tile=32,
                                                         interpret=True))
     np.testing.assert_array_equal(out_s, out_r)
+
+
+def test_dyn8_auto_picks_resident_within_budget(folded):
+    """The served entry point (fused_loco_forward_dyn8_auto) routes to the
+    VMEM-resident flavor exactly when the int8 stack fits the 16 MB budget:
+    true at every trainable hidden size (flagship 1024 = 8 MB), false above
+    ~1408 where the double-buffered streaming kernel takes over."""
+    from monoloco_tpu.ops import (pack_folded_weights_w8,
+                                  dyn8_resident_eligible,
+                                  fused_loco_forward_dyn8_auto,
+                                  fused_loco_forward_dyn8_resident)
+    packed = pack_folded_weights_w8(folded)
+    assert dyn8_resident_eligible(packed)
+    x = jax.random.normal(jax.random.PRNGKey(13), (64, 34))
+    out_auto = np.asarray(fused_loco_forward_dyn8_auto(packed, x, tile=32,
+                                                       interpret=True))
+    out_r = np.asarray(fused_loco_forward_dyn8_resident(packed, x, tile=32,
+                                                        interpret=True))
+    np.testing.assert_array_equal(out_auto, out_r)
+    # An over-budget stack (shape-only check, no compute): 8 x 2048^2 = 32 MB.
+    big_stack = jnp.zeros((8, 2048, 2048), jnp.int8)
+    fake = (jnp.zeros((34, 2048), jnp.bfloat16), None, big_stack)
+    assert not dyn8_resident_eligible(fake)
