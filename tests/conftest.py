@@ -19,6 +19,21 @@ try:
 except Exception:
     pass  # XLA_FLAGS fallback above covers older versions
 
+# Persistent XLA compile cache for the suite: the wall is dominated by XLA
+# CPU compiles of small one-off programs (round-5 profile: the 25 slowest
+# tests are all compile-bound), and every one of them is identical from run
+# to run — so the product's own cache feature (utils/compile_cache.py, the
+# same code path the CLI enables) makes them a once-ever cost per host. A
+# COLD run is unchanged; warm runs skip every previously-seen program.
+# MONOLOCO_TPU_TEST_COMPILE_CACHE=0 opts out (e.g. to measure cold walls);
+# tests that point the cache elsewhere restore the directory afterwards
+# (test_compile_cache.py autouse fixture).
+if os.environ.get('MONOLOCO_TPU_TEST_COMPILE_CACHE', '1') != '0':
+    from monoloco_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache(
+        os.path.join('~', '.cache', 'monoloco_tpu', 'xla-tests'),
+        min_compile_seconds=0.5)
+
 
 def ensure_kitti_eval_binary():
     """Path to kitti-eval/build/evaluate_object, building it with CMake on

@@ -20,6 +20,16 @@ from monoloco_tpu.utils import enable_compilation_cache
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.fixture(autouse=True)
+def _restore_session_cache_dir():
+    """These tests repoint jax_compilation_cache_dir at tmp dirs; restore the
+    session-wide cache (enabled in conftest.py) so later tests don't write
+    compiled executables into a deleted tmp_path."""
+    before = jax.config.jax_compilation_cache_dir
+    yield
+    jax.config.update('jax_compilation_cache_dir', before)
+
+
 def test_enable_creates_dir_and_sets_config(tmp_path, monkeypatch):
     monkeypatch.delenv('MONOLOCO_TPU_COMPILE_CACHE', raising=False)
     target = tmp_path / 'xla_cache'

@@ -120,7 +120,7 @@ class TestTrainGenerateEval:
         joints = sorted(glob.glob('data/arrays/joints-kitti-stereo-*.json'))[-1]
         targs = argparse.Namespace(
             joints=joints, mode='stereo', out='data/outputs/synth_stereo.pkl',
-            epochs=15, bs=256, dropout=0.2, lr=0.003, sched_step=30,
+            epochs=5, bs=256, dropout=0.2, lr=0.003, sched_step=30,
             sched_gamma=0.98, hidden_size=128, n_stage=2, r_seed=1,
             auto_tune_mtl=False, no_save=False, print_loss=False)
         t = Trainer(targs)

@@ -28,14 +28,18 @@ def test_shard_batch_places_on_mesh():
     assert sharded.sharding == data_sharding(mesh, ndim=2)
 
 
-def test_dryrun_multichip(monkeypatch):
+def test_dryrun_multichip(monkeypatch, capsys):
     # Toy shapes: identical mesh/sharding/collective wiring to the flagship
     # config at a fraction of the wall time; the flagship size runs in the
     # slow suite (test_dryrun_multichip_flagship) and in the driver's own
-    # MULTICHIP check.
+    # MULTICHIP check. Even device counts must pick the 2-D dp x tp mesh
+    # (asserted here rather than in a separate dryrun(4) run — the
+    # self-provisioning subprocess test below already covers the n=4 /
+    # dp2xtp2 path).
     monkeypatch.setenv('MONOLOCO_DRYRUN_TOY', '1')
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+    assert 'dp4xtp2' in capsys.readouterr().out
 
 
 @pytest.mark.slow
@@ -211,11 +215,6 @@ class TestTensorParallel:
         v_tp = run(make_mesh_2d(4, 2))
         np.testing.assert_allclose(v_single, v_tp, rtol=2e-3, atol=1e-3)
 
-    def test_dryrun_uses_2d_mesh_for_even_counts(self, capsys, monkeypatch):
-        monkeypatch.setenv('MONOLOCO_DRYRUN_TOY', '1')
-        import __graft_entry__
-        __graft_entry__.dryrun_multichip(4)
-        assert 'dp2xtp2' in capsys.readouterr().out
 
 
 class TestMeshShardedGeneration:
