@@ -231,16 +231,26 @@ def make_handler(batcher, net, timeout_s=60.0):
                 else:
                     status = 'packed-dormant (no dispatch has reached '\
                              f'{_INT8_MIN_ROWS} rows yet)'
+                int8_info = {'status': status,
+                             'min_rows': _INT8_MIN_ROWS,
+                             'dispatches_int8': n_int8,
+                             'dispatches_total': getattr(
+                                 net, 'n_dispatches', 0)}
+                if packed:
+                    # Which dyn8 flavor routing would serve (the auto
+                    # selector: VMEM-resident when the int8 stack fits the
+                    # budget, HBM-streaming above it — same math either way).
+                    from .ops import dyn8_resident_eligible
+                    int8_info['flavor'] = (
+                        'vmem-resident' if dyn8_resident_eligible(
+                            net.mlp_weights['packed_int8'])
+                        else 'hbm-streaming')
                 self._reply(200, {
                     'status': 'ok', 'net': net.net, 'mode': net.mode,
                     'hidden': net.linear_size, 'n_stage': net.n_stage,
                     'precision': _precision_raw,
                     'int8_kernel': packed,
-                    'int8': {'status': status,
-                             'min_rows': _INT8_MIN_ROWS,
-                             'dispatches_int8': n_int8,
-                             'dispatches_total': getattr(
-                                 net, 'n_dispatches', 0)}})
+                    'int8': int8_info})
             elif self.path == '/metrics':
                 lat = list(batcher.latencies_s)
                 dev = list(batcher.device_s)

@@ -60,6 +60,27 @@ def test_healthz(server):
     assert h['precision'] == 'default' and h['int8_kernel'] is False
 
 
+def test_healthz_reports_packed_kernel_flavor():
+    """With the dyn8 kernel packed, /healthz reports dormant-vs-active status
+    and WHICH flavor the auto selector would serve (vmem-resident within the
+    16 MB stack budget)."""
+    from monoloco_tpu.ops import pack_folded_weights_w8
+    params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 128, 2)
+    net = Loco((params, bn), mode='mono', linear_size=128, n_stage=2)
+    net.mlp_weights['packed_int8'] = pack_folded_weights_w8(net.folded)
+    srv = Server(net, port=0, window_ms=5.0, max_batch=4)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        h = _get(srv.port, '/healthz')
+        assert h['int8_kernel'] is True
+        assert h['int8']['status'].startswith('packed-dormant')
+        assert h['int8']['flavor'] == 'vmem-resident'   # 128^2 x 6 << 16 MB
+        assert h['int8']['min_rows'] >= 1
+    finally:
+        srv.shutdown()
+
+
 def test_predict_single(server):
     out = _post(server.port, {'keypoints': _keypoints(3), 'kk': KK})
     o = out['outputs']
