@@ -66,11 +66,22 @@ def fmt(s, scale=1.0, digits=3):
 
 def main():
     paths = [a for a in sys.argv[1:] if not a.startswith('-')]
-    path = paths[0] if paths else '/tmp/h2h/results_r3.jsonl'
+    if not paths:
+        paths = ['/tmp/h2h/results_r3.jsonl']
     groups = defaultdict(list)
-    for line in open(path):
-        r = json.loads(line)
-        groups[(r['mode'], r['framework'])].append(r)
+    seen = set()
+    for path in paths:
+        for line in open(path):
+            r = json.loads(line)
+            # Results accumulate across per-round jsonl files; pool every
+            # path given, deduping re-recorded legs (same framework, mode,
+            # seed, config) so overlapping snapshots don't double-count.
+            key = (r['framework'], r['mode'], r.get('r_seed'),
+                   r.get('n_train'), r.get('n_val'), r.get('hard'))
+            if key in seen:
+                continue
+            seen.add(key)
+            groups[(r['mode'], r['framework'])].append(r)
 
     for mode in ('mono', 'stereo'):
         print(f"\n=== {mode} ===")
