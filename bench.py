@@ -60,8 +60,14 @@ def _require_live_backend(timeout_s):
 PRECISION = os.environ.get('MONOLOCO_TPU_PRECISION')
 # An unrecognized value (e.g. 'int8-dyn' copied from the bench's own output
 # label) would silently measure the bf16 path while labeling the JSON record
-# with the bogus value — fail loudly instead.
-_KNOWN_PRECISIONS = {'bf16', 'f32', 'int8', 'int8-a8', 'int8-xla'}
+# with the bogus value — fail loudly instead. Every spelling the framework
+# itself documents (utils/precision.py aliases: float32/fp32/highest,
+# bfloat16/tensorfloat32, default) is accepted: the non-int8 measurement path
+# runs under whatever matmul precision the process-wide knob configured, so
+# those values measure — and label — exactly what they pin.
+_KNOWN_PRECISIONS = {'bf16', 'f32', 'int8', 'int8-a8', 'int8-xla',
+                     'float32', 'fp32', 'highest', 'bfloat16',
+                     'tensorfloat32', 'default'}
 if PRECISION is not None and PRECISION not in _KNOWN_PRECISIONS:
     sys.exit(f"MONOLOCO_TPU_PRECISION={PRECISION!r} is not a bench "
              f"configuration; known: {sorted(_KNOWN_PRECISIONS)}")

@@ -210,11 +210,27 @@ class Loco:
         self.n_dispatches_int8 = 0
 
     def _count_dispatch(self, n_rows):
-        """Record one device dispatch of an n_rows MLP batch (same predicate
-        as the traced routing in _mlp_forward, via _int8_routes)."""
+        """Record one device dispatch whose traced MLP sees n_rows rows (same
+        predicate as the traced routing in _mlp_forward, via _int8_routes).
+        Callers must pass the rows the TRACED program sees: under a
+        shard_map-wrapped batch program that is the per-device shard, not the
+        global batch (see _dispatch_shard_factor)."""
         self.n_dispatches += 1
         if _int8_routes(self.mlp_weights, n_rows):
             self.n_dispatches_int8 += 1
+
+    def _dispatch_shard_factor(self):
+        """How many ways _maybe_shard_map splits the batch programs' leading
+        (image) axis. _int8_routes evaluates at trace time on the LOCAL
+        per-device shape inside shard_map, so the host-side dispatch counters
+        must divide the global image bucket by this factor — otherwise a
+        global-rows>=floor / local-rows<floor dispatch would count as int8
+        while actually running bf16 (the exact packed-but-dormant condition
+        the counters exist to expose)."""
+        if self.mesh is None or 'packed_int8' not in self.mlp_weights:
+            return 1
+        from ..parallel.mesh import DATA_AXIS
+        return int(self.mesh.shape[DATA_AXIS])
 
     def _dp_only_mesh(self):
         """True when self.mesh shards over the 'data' axis alone (every other
@@ -528,12 +544,15 @@ class Loco:
                     r_mask[i, 0] = True
             kps_j, kps_r_j, r_mask_j, kks_j = self._shard_batch_args(
                 kps, kps_r, r_mask, kks)
-            self._count_dispatch(b_bucket * m_bucket * r_bucket)
+            self._count_dispatch(
+                b_bucket // self._dispatch_shard_factor()
+                * m_bucket * r_bucket)
             dic_dev = self._get_program('batch_stereo')(
                 self.mlp_weights, kps_j, kps_r_j, r_mask_j, kks_j)
         else:
             kps_j, kks_j = self._shard_batch_args(kps, kks)
-            self._count_dispatch(b_bucket * m_bucket)
+            self._count_dispatch(
+                b_bucket // self._dispatch_shard_factor() * m_bucket)
             dic_dev = self._get_program('batch')(self.mlp_weights, kps_j, kks_j)
 
         epi_dev = None

@@ -94,9 +94,15 @@ class Batcher:
         self.n_shed = 0
         self.batch_sizes = deque(maxlen=1000)
         self.latencies_s = deque(maxlen=1000)
-        # Wall time of the device round trip per dispatch (launch + execute +
-        # fetch) — how an int8-vs-bf16 difference shows on the serving surface
-        # even when end-to-end RPS is host-bound.
+        # Wall time of the device round trip per dispatch (host-side batch
+        # padding + launch + execute + fetch) — how an int8-vs-bf16
+        # difference shows on the serving surface even when end-to-end RPS is
+        # host-bound. Caveat: the FIRST dispatch of any (batch, m)-bucket
+        # shape also pays that program's trace+compile inside this window
+        # (seconds through a remote-compile tunnel), so /metrics device_ms
+        # p99 can read compile noise until every bucket is warm — warm the
+        # buckets first (tools/bench_serve.py does) before comparing
+        # precisions on this metric.
         self.device_s = deque(maxlen=1000)
         self._thread = threading.Thread(target=self._collate, daemon=True)
         self._thread.start()

@@ -246,6 +246,39 @@ class TestEngineInt8Routing:
             d_xla = np.asarray(out_xla[i]['xyzd'])[:, 3]
             rel = np.abs(d_mesh - d_xla) / np.maximum(np.abs(d_xla), 0.5)
             assert rel.mean() < 0.03, rel.mean()
+        # The engagement counter mirrors the PER-SHARD routing the traced
+        # program actually took (local rows 8/4 img * 4 kps = 8 >= floor 8).
+        assert net_mesh.n_dispatches_int8 == net_mesh.n_dispatches == 1
+
+    def test_dp_mesh_counters_track_per_shard_routing(self, monkeypatch):
+        """Routing is decided at trace time on the PER-DEVICE shard inside
+        shard_map, so a dispatch whose GLOBAL rows clear _INT8_MIN_ROWS but
+        whose local shard does not runs bf16 — and the host counters (what
+        /healthz and /metrics export) must say so, not report 'active'."""
+        from monoloco_tpu.network import engine
+        from monoloco_tpu.parallel import make_mesh
+        monkeypatch.setattr(engine, '_INT8', True)
+        # 6 images x 3 kps -> b_bucket 8, m_bucket 4: global rows 32 clear a
+        # floor of 16, but each of the 4 shards sees only 2*4 = 8 rows.
+        monkeypatch.setattr(engine, '_INT8_MIN_ROWS', 16)
+        mesh = make_mesh(jax.devices()[:4])
+        net_mesh = self._net(mesh=mesh)
+        assert 'packed_int8' in net_mesh.mlp_weights
+        rng = np.random.RandomState(7)
+        kps = [rng.rand(3, 3, 17).astype(np.float32) * 200 for _ in range(6)]
+        kks = [np.array([[720., 0., 600.], [0., 720., 180.], [0., 0., 1.]],
+                        np.float32)] * 6
+        out_mesh = net_mesh.forward_batch(kps, kks)
+        assert net_mesh.n_dispatches == 1
+        assert net_mesh.n_dispatches_int8 == 0   # dormant, and reported so
+        # And the outputs really are the exact bf16 XLA path, per shard.
+        net_bf16 = self._net()
+        net_bf16.mlp_weights = {'folded': net_bf16.folded}
+        out_xla = net_bf16.forward_batch(kps, kks)
+        for i in range(6):
+            np.testing.assert_allclose(out_mesh[i]['xyzd'],
+                                       out_xla[i]['xyzd'],
+                                       rtol=0, atol=1e-5)
 
 
 def test_dyn8_batch_size_independent(folded):

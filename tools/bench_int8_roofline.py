@@ -14,8 +14,15 @@ exactly like bench.py):
                  int8 by a cheap shift) — the optimistic shape ceiling
   chain-dyn8     the same chain with PER-ROW DYNAMIC requantization between
                  layers (row-max reduction + scale + round, what the serving
-                 kernel semantically does) — the honest shape ceiling for
-                 dyn8 semantics
+                 kernel semantically does) — the best XLA-EXPRESSIBLE chain
+                 at dyn8 semantics. NOT an upper bound for the fused kernel:
+                 XLA pays each requant as an HBM round trip between matmuls,
+                 which the kernel overlaps with MXU/DMA work on VMEM-resident
+                 tiles — so the served kernel legitimately lands ABOVE this
+                 number (summary key pct_of_dyn_requant_ceiling > 100 means
+                 'beats anything XLA can express', not 'exceeds physics').
+                 The physical bounds are chain-int8 (the no-requant chain)
+                 and peak-int8.
   serve-dyn8     the full bench.py program with the served fused dyn8 kernel
                  (K^-1 preprocess -> kernel -> physical decode), at tiles
                  256/512/1024 — where the headline 11.7 M comes from

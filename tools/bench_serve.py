@@ -266,6 +266,10 @@ def main():
             # warm it too or its lazy compile poisons one sweep level.
             net.forward_batch([kps1] * args.max_batch,
                               [np.asarray(KK, np.float32)] * args.max_batch)
+        # Exclude warmup from the engagement counters: a full-bucket warmup
+        # dispatch can route int8 and would satisfy --expect-int8 even if no
+        # measured request ever does.
+        net.n_dispatches = net.n_dispatches_int8 = 0
         run_sweep(args, port, body)
         server.shutdown()
         check_int8_engagement()
@@ -282,6 +286,7 @@ def main():
         t.join()
     post()
     print(f'warmup done in {time.time() - t0:.1f}s', flush=True)
+    net.n_dispatches = net.n_dispatches_int8 = 0   # exclude warmup
 
     lat = []
     lock = threading.Lock()

@@ -69,7 +69,7 @@ def main():
     if not paths:
         paths = ['/tmp/h2h/results_r3.jsonl']
     groups = defaultdict(list)
-    seen = set()
+    seen = {}
     for path in paths:
         for line in open(path):
             r = json.loads(line)
@@ -79,8 +79,18 @@ def main():
             key = (r['framework'], r['mode'], r.get('r_seed'),
                    r.get('n_train'), r.get('n_val'), r.get('hard'))
             if key in seen:
+                # First occurrence wins, but a CONFLICTING re-record (e.g. a
+                # leg re-measured after an eval fix) must not be dropped
+                # silently — the pooled table would stand on the stale row.
+                if r.get('ale') != seen[key].get('ale'):
+                    print(f"WARNING: duplicate leg {key} in {path} has a "
+                          f"DIFFERENT ale payload than the first occurrence "
+                          f"(kept: ale_all={seen[key]['ale']['all']:.4f}, "
+                          f"dropped: ale_all={r['ale']['all']:.4f}) — if the "
+                          f"later row is a corrected re-measurement, remove "
+                          f"the stale one from its file.", file=sys.stderr)
                 continue
-            seen.add(key)
+            seen[key] = r
             groups[(r['mode'], r['framework'])].append(r)
 
     for mode in ('mono', 'stereo'):
