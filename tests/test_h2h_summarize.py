@@ -214,3 +214,41 @@ def test_summarizer_refuses_mixed_dataset_configs(tmp_path):
                           capture_output=True, text=True)
     assert proc.returncode != 0
     assert 'mixed dataset configs' in proc.stderr + proc.stdout
+
+
+def _rec(seed, ale_all, fw='monoloco_tpu'):
+    return {'framework': fw, 'mode': 'mono', 'r_seed': seed,
+            'n_train': 10, 'n_val': 10, 'hard': True, 'train_wall_s': 1.0,
+            'ale': {'easy': 1.0, 'moderate': 2.0, 'hard': 3.0,
+                    'all': ale_all},
+            'alp': {'<0.5m': 25.0, '<1m': 40.0, '<2m': 60.0}, 'matched': 10}
+
+
+def test_pooling_dedups_identical_legs_across_files(tmp_path):
+    """A leg re-recorded verbatim in a later round file (overlapping
+    snapshot) pools once, silently."""
+    p1, p2 = tmp_path / 'a.jsonl', tmp_path / 'b.jsonl'
+    p1.write_text(json.dumps(_rec(1, 1.30)) + '\n'
+                  + json.dumps(_rec(2, 1.32)) + '\n')
+    p2.write_text(json.dumps(_rec(1, 1.30)) + '\n')   # same payload
+    tool = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                        'h2h_summarize.py')
+    res = subprocess.run([sys.executable, tool, str(p1), str(p2)],
+                         capture_output=True, text=True, check=True)
+    assert 'monoloco_tpu (2 seeds' in res.stdout
+    assert 'WARNING' not in res.stderr
+
+
+def test_pooling_warns_on_conflicting_duplicate_leg(tmp_path):
+    """A duplicate key with a DIFFERENT ale payload (a re-measured leg) must
+    not be dropped silently — the pooled table would stand on the stale row."""
+    p1, p2 = tmp_path / 'a.jsonl', tmp_path / 'b.jsonl'
+    p1.write_text(json.dumps(_rec(1, 1.30)) + '\n')
+    p2.write_text(json.dumps(_rec(1, 1.45)) + '\n')   # conflicting re-record
+    tool = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                        'h2h_summarize.py')
+    res = subprocess.run([sys.executable, tool, str(p1), str(p2)],
+                         capture_output=True, text=True, check=True)
+    assert 'monoloco_tpu (1 seeds' in res.stdout      # first occurrence kept
+    assert 'DIFFERENT ale payload' in res.stderr
+    assert 'kept: ale_all=1.3000' in res.stderr
