@@ -28,7 +28,7 @@ PIN_F32 = MATMUL_PRECISION in ('float32', 'highest')
 # (ops/fused_mlp.py pack_folded_weights_w8 + fused_loco_forward_dyn8):
 # streamed weights stored int8 (half the HBM DMA bytes), activations
 # quantized in-kernel with per-ROW scales, int8 MXU matmuls, no calibration —
-# parity-grade on the END metric (full-volume ALE delta -0.03%/+0.03% mono,
+# parity-grade on the END metric (full-volume ALE delta -0.03%/+0.03%/+0.01% mono,
 # +0.16% stereo; tools/int8_eval_parity.py, PARITY.md round-4) and 1.25x
 # bf16-XLA same-session. 'int8-a8' (static activation calibration — NOT
 # parity-grade, ALE +69% under distribution shift) and 'int8-xla' are
