@@ -194,6 +194,17 @@ def _percentile(xs, p):
 
 def make_handler(batcher, net, timeout_s=60.0):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: persistent clients reuse one connection (and
+        # its server thread) across requests instead of paying a TCP
+        # handshake + thread spawn per request — the dominant cost of the
+        # thread-per-connection stdlib layer at high request rates (PARITY.md
+        # "Serving under load"). Safe because every reply path goes through
+        # _reply, which always sends Content-Length. `timeout` bounds idle
+        # keep-alive connections so abandoned clients don't pin threads
+        # (handle_one_request treats the socket timeout as close_connection).
+        protocol_version = 'HTTP/1.1'
+        timeout = 60
+
         # Silence default per-request stderr logging (metrics carry counts).
         def log_message(self, fmt, *args):  # noqa: ARG002
             pass
