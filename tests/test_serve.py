@@ -368,3 +368,30 @@ def test_stereo_server():
         assert h['net'] == 'monstereo'
     finally:
         srv.shutdown()
+
+
+def test_keepalive_connection_reuse(server):
+    """The server speaks HTTP/1.1 keep-alive: several requests ride ONE TCP
+    connection (production clients hold persistent connections; per-request
+    handshakes were the round-4 HTTP-layer ceiling — PARITY.md)."""
+    import http.client
+    conn = http.client.HTTPConnection('127.0.0.1', server.port, timeout=30)
+    try:
+        for i in range(3):
+            body = json.dumps({'keypoints': _keypoints(2, seed=i),
+                               'kk': KK}).encode()
+            conn.request('POST', '/v1/predict', body=body,
+                         headers={'Content-Type': 'application/json'})
+            resp = conn.getresponse()
+            assert resp.version == 11
+            assert resp.status == 200
+            out = json.loads(resp.read())
+            assert len(out['outputs']['xyzd']) == 2
+            # keep-alive: the server must not have asked to close
+            assert (resp.getheader('Connection') or '').lower() != 'close'
+        # And a GET on the SAME connection still works after the POSTs.
+        conn.request('GET', '/healthz')
+        resp = conn.getresponse()
+        assert resp.status == 200 and json.loads(resp.read())['status'] == 'ok'
+    finally:
+        conn.close()
