@@ -252,3 +252,21 @@ def test_pooling_warns_on_conflicting_duplicate_leg(tmp_path):
     assert 'monoloco_tpu (1 seeds' in res.stdout      # first occurrence kept
     assert 'DIFFERENT ale payload' in res.stderr
     assert 'kept: ale_all=1.3000' in res.stderr
+
+
+def test_precision_ablation_legs_group_separately(tmp_path):
+    """A leg with a 'precision' field (the round-4 f32-pinned ablation set)
+    shares (framework, mode, seed, config) with its bf16 twin but holds
+    DIFFERENT trained weights — it must pool as its own group, not be
+    dropped as a conflicting duplicate of the bf16 leg."""
+    p = tmp_path / 'r.jsonl'
+    p.write_text(json.dumps(_rec(1, 1.30)) + '\n'
+                 + json.dumps(dict(_rec(1, 1.28), precision='float32')) + '\n'
+                 + json.dumps(dict(_rec(2, 1.29), precision='float32')) + '\n')
+    tool = os.path.join(os.path.dirname(__file__), '..', 'tools',
+                        'h2h_summarize.py')
+    res = subprocess.run([sys.executable, tool, str(p)],
+                         capture_output=True, text=True, check=True)
+    assert 'monoloco_tpu (1 seeds' in res.stdout
+    assert 'monoloco_tpu [float32] (2 seeds' in res.stdout
+    assert 'WARNING' not in res.stderr

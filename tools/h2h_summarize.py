@@ -76,8 +76,12 @@ def main():
             # Results accumulate across per-round jsonl files; pool every
             # path given, deduping re-recorded legs (same framework, mode,
             # seed, config) so overlapping snapshots don't double-count.
+            # Precision-ablation legs (e.g. the round-4 f32-pinned set)
+            # carry a 'precision' field: same seed, same data, DIFFERENT
+            # trained weights — a distinct group, not a duplicate.
+            prec = r.get('precision') or 'bf16'
             key = (r['framework'], r['mode'], r.get('r_seed'),
-                   r.get('n_train'), r.get('n_val'), r.get('hard'))
+                   r.get('n_train'), r.get('n_val'), r.get('hard'), prec)
             if key in seen:
                 # First occurrence wins, but a CONFLICTING re-record (e.g. a
                 # leg re-measured after an eval fix) must not be dropped
@@ -91,12 +95,17 @@ def main():
                           f"the stale one from its file.", file=sys.stderr)
                 continue
             seen[key] = r
-            groups[(r['mode'], r['framework'])].append(r)
+            fw_label = (r['framework'] if prec == 'bf16'
+                        else f"{r['framework']} [{prec}]")
+            groups[(r['mode'], fw_label)].append(r)
 
     for mode in ('mono', 'stereo'):
         print(f"\n=== {mode} ===")
         gstats = {}
-        for fw in ('reference', 'monoloco_tpu'):
+        extra_fws = sorted(fw for (m, fw) in groups
+                           if m == mode and fw not in ('reference',
+                                                       'monoloco_tpu'))
+        for fw in ('reference', 'monoloco_tpu', *extra_fws):
             recs = groups.get((mode, fw), [])
             if not recs:
                 continue
