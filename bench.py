@@ -119,7 +119,14 @@ def _measure(folded_f32, precision):
             out = extract_outputs(mlp(w, inputs))
             return out['xyzd'], out['bi'], out['yaw'][0], out['h'], out['w'], out['l']
     else:
-        if precision != 'f32':
+        # Every spelling that pins full-precision matmuls (or tf32, whose
+        # extra mantissa bits a bf16 storage cast would destroy) must keep
+        # f32 weight storage — 'float32'/'fp32'/'highest' previously fell
+        # into the bf16 cast below, measuring a path OTHER than the one the
+        # label (and the process-wide matmul pin) promised.
+        full_storage = precision in ('f32', 'fp32', 'float32', 'highest',
+                                     'tensorfloat32')
+        if not full_storage:
             # Production serving runs the MLP in bfloat16 (decode stays f32);
             # the induced output noise (~1e-3 absolute) is far inside the ALE
             # parity window.
@@ -127,7 +134,7 @@ def _measure(folded_f32, precision):
                 lambda x: x.astype(jnp.bfloat16), folded_f32)
         else:
             weights = folded_f32
-        dtype = jnp.float32 if precision == 'f32' else jnp.bfloat16
+        dtype = jnp.float32 if full_storage else jnp.bfloat16
 
         def serve_once(w, keypoints, kk):
             inputs = preprocess_monoloco(keypoints, kk).astype(dtype)

@@ -294,12 +294,26 @@ def make_handler(batcher, net, timeout_s=60.0):
                 self._reply(404, {'error': 'unknown path'})
 
         def do_POST(self):  # noqa: N802 — http.server API
+            # Early replies that skip reading the body must CLOSE the
+            # connection: under HTTP/1.1 keep-alive an unread body would
+            # desynchronize the stream (the next handle_one_request would
+            # parse body bytes as a request line). 'Connection: close' also
+            # sets self.close_connection inside send_header.
             if self.path != '/v1/predict':
-                self._reply(404, {'error': 'unknown path'})
+                self._reply(404, {'error': 'unknown path'},
+                            headers={'Connection': 'close'})
+                return
+            if self.headers.get('Transfer-Encoding'):
+                # Chunked bodies are not decoded by the stdlib handler; the
+                # stream cannot be resynchronized without parsing them.
+                self._reply(411, {'error': 'chunked bodies not supported; '
+                                           'send Content-Length'},
+                            headers={'Connection': 'close'})
                 return
             length = int(self.headers.get('Content-Length', 0))
             if length > 64 * 1024 * 1024:
-                self._reply(413, {'error': 'request body too large'})
+                self._reply(413, {'error': 'request body too large'},
+                            headers={'Connection': 'close'})
                 return
             try:
                 req = json.loads(self.rfile.read(length))

@@ -395,3 +395,66 @@ def test_keepalive_connection_reuse(server):
         assert resp.status == 200 and json.loads(resp.read())['status'] == 'ok'
     finally:
         conn.close()
+
+
+def test_keepalive_early_replies_close_the_connection(server):
+    """Replies sent WITHOUT reading the request body (404 wrong path, 411
+    chunked, 413 too large) must carry Connection: close — under HTTP/1.1
+    keep-alive an unread body would otherwise desynchronize the stream and
+    the next request on the connection would parse body bytes as a request
+    line."""
+    import http.client
+    body = json.dumps({'keypoints': _keypoints(2), 'kk': KK}).encode()
+
+    # Wrong path, with a body the handler never reads.
+    conn = http.client.HTTPConnection('127.0.0.1', server.port, timeout=30)
+    try:
+        conn.request('POST', '/nope', body=body,
+                     headers={'Content-Type': 'application/json'})
+        resp = conn.getresponse()
+        assert resp.status == 404
+        assert (resp.getheader('Connection') or '').lower() == 'close'
+        resp.read()
+    finally:
+        conn.close()
+
+    # Oversized Content-Length: same contract, no body bytes even sent.
+    conn = http.client.HTTPConnection('127.0.0.1', server.port, timeout=30)
+    try:
+        conn.putrequest('POST', '/v1/predict')
+        conn.putheader('Content-Type', 'application/json')
+        conn.putheader('Content-Length', str(65 * 1024 * 1024))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert (resp.getheader('Connection') or '').lower() == 'close'
+        resp.read()
+    finally:
+        conn.close()
+
+    # Chunked transfer encoding is refused up front (the stdlib handler
+    # does not decode it, so the stream could never be resynchronized).
+    conn = http.client.HTTPConnection('127.0.0.1', server.port, timeout=30)
+    try:
+        conn.putrequest('POST', '/v1/predict')
+        conn.putheader('Content-Type', 'application/json')
+        conn.putheader('Transfer-Encoding', 'chunked')
+        conn.endheaders()
+        conn.send(b'0\r\n\r\n')
+        resp = conn.getresponse()
+        assert resp.status == 411
+        assert (resp.getheader('Connection') or '').lower() == 'close'
+        resp.read()
+    finally:
+        conn.close()
+
+    # The server itself is unharmed: a fresh keep-alive request succeeds.
+    conn = http.client.HTTPConnection('127.0.0.1', server.port, timeout=30)
+    try:
+        conn.request('POST', '/v1/predict', body=body,
+                     headers={'Content-Type': 'application/json'})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        json.loads(resp.read())
+    finally:
+        conn.close()

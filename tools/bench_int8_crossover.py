@@ -47,7 +47,7 @@ RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 KK = [[718.3351, 0., 600.3891], [0., 718.3351, 181.5122], [0., 0., 1.]]
 
 
-def build_serve_scan(mlp, weights_treedef_marker):  # noqa: ARG001
+def build_serve_scan(mlp):
     import jax
     import jax.numpy as jnp
     from monoloco_tpu.network.preprocess import preprocess_monoloco
@@ -105,8 +105,8 @@ def main():
     def mlp_dyn8(w, inputs):
         return fused_loco_forward_dyn8(w, inputs, tile=512)
 
-    scan_bf16 = build_serve_scan(mlp_bf16, None)
-    scan_dyn8 = build_serve_scan(mlp_dyn8, None)
+    scan_bf16 = build_serve_scan(mlp_bf16)
+    scan_dyn8 = build_serve_scan(mlp_dyn8)
 
     # One jitted numerics probe per row count: decoded distance both paths.
     @jax.jit

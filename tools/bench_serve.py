@@ -40,8 +40,10 @@ def run_sweep(args, port, body):
 
     Requests ride a keep-alive connection pool (the server speaks HTTP/1.1):
     a fresh TCP connect per request measures the handshake, not the server —
-    production clients hold persistent connections. Failed/shed connections
-    are dropped from the pool (the server may close after a 503 burst)."""
+    production clients hold persistent connections. Any fully-read response
+    (including a 503 shed, whose body the server always sends) returns its
+    connection to the pool; only transport errors drop the connection, so
+    shed requests do NOT pay a reconnect in the measured latency."""
     import http.client
 
     pool, pool_lock = [], threading.Lock()
@@ -172,6 +174,23 @@ def run_direct_sweep(args, net, Batcher):
         'int8_kernel_packed': 'packed_int8' in net.mlp_weights}), flush=True)
 
 
+def warm_batch_buckets(net, max_batch, dets):
+    """Pre-compile every power-of-two batch bucket a sweep can hit (plus the
+    engine's rounded-up bucket for a non-power-of-two max_batch) — a lazy
+    bucket compile mid-level costs seconds through the remote-compile tunnel
+    and poisons that level's latency numbers. One definition shared by the
+    --direct and --sweep branches so a bucket-policy change cannot leave one
+    mode warming the wrong shapes."""
+    kps1 = np.zeros((dets, 3, 17), np.float32)
+    kk = np.asarray(KK, np.float32)
+    b = 1
+    while b <= max_batch:
+        net.forward_batch([kps1] * b, [kk] * b)
+        b *= 2
+    if b // 2 != max_batch:
+        net.forward_batch([kps1] * max_batch, [kk] * max_batch)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--model', default=None,
@@ -231,14 +250,7 @@ def main():
         from monoloco_tpu.serve import Batcher
         # Pre-compile every bucket the sweep can hit (as the HTTP sweep does).
         print('warming all batch buckets...', flush=True)
-        kps1 = np.zeros((args.dets, 3, 17), np.float32)
-        b = 1
-        while b <= args.max_batch:
-            net.forward_batch([kps1] * b, [np.asarray(KK, np.float32)] * b)
-            b *= 2
-        if b // 2 != args.max_batch:
-            net.forward_batch([kps1] * args.max_batch,
-                              [np.asarray(KK, np.float32)] * args.max_batch)
+        warm_batch_buckets(net, args.max_batch, args.dets)
         net.n_dispatches = net.n_dispatches_int8 = 0   # exclude warmup
         run_direct_sweep(args, net, Batcher)
         check_int8_engagement()
@@ -273,23 +285,10 @@ def main():
             raise
 
     if args.sweep:
-        # Pre-compile EVERY power-of-two batch bucket the open-loop load can
-        # hit — a lazy bucket compile mid-level costs seconds through the
-        # remote-compile tunnel and poisons that level's latency numbers.
         # (The closed-loop HTTP warmup below is skipped: at small
         # --max-queue it would itself be shed with 503s.)
         print('warming all batch buckets...', flush=True)
-        kps1 = np.zeros((args.dets, 3, 17), np.float32)
-        b = 1
-        while b <= args.max_batch:
-            net.forward_batch([kps1] * b, [np.asarray(KK, np.float32)] * b)
-            b *= 2
-        if b // 2 != args.max_batch:
-            # Non-power-of-two --max-batch: the collator can form batches up
-            # to max_batch, which the engine rounds up to the NEXT bucket —
-            # warm it too or its lazy compile poisons one sweep level.
-            net.forward_batch([kps1] * args.max_batch,
-                              [np.asarray(KK, np.float32)] * args.max_batch)
+        warm_batch_buckets(net, args.max_batch, args.dets)
         # Exclude warmup from the engagement counters: a full-bucket warmup
         # dispatch can route int8 and would satisfy --expect-int8 even if no
         # measured request ever does.
