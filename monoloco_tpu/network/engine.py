@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..utils.precision import (
     MATMUL_PRECISION as _MATMUL_PRECISION,
     PIN_F32 as _PIN_F32,
+    serve_storage_bf16 as _serve_storage_bf16,
 )
 
 from ..geometry import get_iou_matches, reorder_matches
@@ -180,7 +181,22 @@ class Loco:
         # dispatch; _mlp_forward picks per compiled shape. No calibration:
         # weights quantize per-column at pack time, activations per-row
         # in-kernel.
-        self.mlp_weights = {'folded': self.folded}
+        # Serving weight storage (round 5): under TPU default matmul
+        # precision the MXU rounds operands to bf16 anyway, so bf16-STORED
+        # weights compute the same multiplies while streaming half the HBM
+        # bytes per dispatch (measured +7.3-7.6% at 512-2048 rows,
+        # tools/serve_storage_r5.jsonl). Policy in utils/precision.py:
+        # opt-in via MONOLOCO_TPU_SERVE_STORAGE=bf16 until the full-volume
+        # end-metric A/B certifies it as the auto default; f32-pinned
+        # precisions and non-TPU backends always keep f32. self.folded stays
+        # f32 — the int8 pack and direct consumers quantize/fold from it.
+        self.serve_storage = 'f32'
+        folded_serve = self.folded
+        if _serve_storage_bf16(jax.default_backend()):
+            folded_serve = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), self.folded)
+            self.serve_storage = 'bf16'
+        self.mlp_weights = {'folded': folded_serve}
         if _INT8 and self.arch == 'loco' and linear_size % 128 == 0:
             if mesh is not None and not self._dp_only_mesh():
                 # A pallas_call has no GSPMD partitioning rule, so the kernel

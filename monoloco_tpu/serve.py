@@ -266,6 +266,7 @@ def make_handler(batcher, net, timeout_s=60.0):
                     'status': 'ok', 'net': net.net, 'mode': net.mode,
                     'hidden': net.linear_size, 'n_stage': net.n_stage,
                     'precision': _precision_raw,
+                    'serve_storage': getattr(net, 'serve_storage', 'f32'),
                     'int8_kernel': packed,
                     'int8': int8_info})
             elif self.path == '/metrics':

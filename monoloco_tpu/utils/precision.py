@@ -35,6 +35,44 @@ PIN_F32 = MATMUL_PRECISION in ('float32', 'highest')
 # bench-only ablations. Opt-in: bf16 XLA stays the default.
 INT8 = _RAW == 'int8'
 
+# ---------------------------------------------------------------------------
+# Serving WEIGHT STORAGE (round 5). Orthogonal to the matmul-precision knob:
+# under TPU default precision the MXU rounds both operands to bf16 anyway, but
+# the engine's folded weights were STORED f32, streaming 2x the weight bytes
+# from HBM per dispatch (16 MB vs 8 MB at hidden 1024). Measured same-session
+# (tools/bench_serve_storage.py, tools/serve_storage_r5.jsonl): bf16-stored
+# weights are +7.3%/+7.6% at 512/2048-row dispatches (noise-level at 128,
+# where tunnel dispatch overhead dominates).
+#
+# MONOLOCO_TPU_SERVE_STORAGE:
+#   f32 (current default)  keep the f32-stored fold — the path every
+#         end-metric parity study so far certified.
+#   bf16  cast the served fold (weights + biases) to bfloat16 on TPU.
+#   auto  reserved: will mean "bf16 whenever the matmul precision is
+#         default/bfloat16 on TPU" once the full-volume end-metric A/B
+#         certifies it; resolves to f32 until then (the static-int8 kernel
+#         taught us decode-level deviation budgets don't certify a serving
+#         path — only ALE/ALP after the full eval pipeline does).
+# Never applies when PIN_F32 (float32/highest) — those spellings promise
+# full-precision multiplies — and never on non-TPU backends, where matmuls
+# are genuine f32 and a storage cast would change results.
+_RAW_STORAGE = os.environ.get('MONOLOCO_TPU_SERVE_STORAGE', 'auto')
+
+
+def serve_storage_bf16(backend):
+    """Resolve the serving-weight storage policy for `backend` (the
+    jax.default_backend() string, known only once the backend is live)."""
+    if _RAW_STORAGE not in ('auto', 'f32', 'bf16'):
+        raise ValueError(
+            f"MONOLOCO_TPU_SERVE_STORAGE={_RAW_STORAGE!r}: use auto|f32|bf16")
+    if _RAW_STORAGE == 'f32':
+        return False
+    if PIN_F32 or backend != 'tpu':
+        return False
+    if _RAW_STORAGE == 'bf16':
+        return True
+    return False  # auto: f32 until the end-metric A/B certifies bf16
+
 
 def with_matmul_precision(fn):
     """Wrap `fn` so its body traces under the configured matmul precision.

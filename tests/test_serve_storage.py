@@ -1,0 +1,79 @@
+"""Serving weight-storage policy (MONOLOCO_TPU_SERVE_STORAGE, round 5).
+
+Under TPU default matmul precision the MXU rounds operands to bf16 anyway;
+bf16-STORED weights compute the same multiplies while streaming half the HBM
+bytes per dispatch (+7.3-7.6% at 512-2048 rows, tools/serve_storage_r5.jsonl).
+The policy (utils/precision.py serve_storage_bf16) must:
+ - stay f32 everywhere until the end-metric A/B certifies 'auto' -> bf16,
+ - never cast on non-TPU backends (their matmuls are genuine f32),
+ - never cast under the f32-pinned precisions (they promise f32 multiplies),
+ - honor the explicit f32/bf16 overrides (bf16 only on TPU).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from monoloco_tpu.models import init_loco_params
+from monoloco_tpu.network import Loco
+from monoloco_tpu.utils import precision
+
+
+@pytest.mark.parametrize('raw,pin,backend,expect', [
+    ('auto', False, 'tpu', False),   # auto stays f32 until certified
+    ('auto', False, 'cpu', False),
+    ('f32', False, 'tpu', False),
+    ('bf16', False, 'tpu', True),
+    ('bf16', False, 'cpu', False),   # non-TPU: storage cast would change
+    ('bf16', True, 'tpu', False),    # f32-pinned precision always wins
+])
+def test_policy_resolution(monkeypatch, raw, pin, backend, expect):
+    monkeypatch.setattr(precision, '_RAW_STORAGE', raw)
+    monkeypatch.setattr(precision, 'PIN_F32', pin)
+    assert precision.serve_storage_bf16(backend) is expect
+
+
+def test_policy_rejects_unknown_value(monkeypatch):
+    monkeypatch.setattr(precision, '_RAW_STORAGE', 'bf8')
+    with pytest.raises(ValueError, match='bf8'):
+        precision.serve_storage_bf16('tpu')
+
+
+def _toy_net():
+    params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 64, 2)
+    return Loco((params, bn), mode='mono', linear_size=64, n_stage=2)
+
+
+def test_engine_default_keeps_f32_storage():
+    net = _toy_net()
+    assert net.serve_storage == 'f32'
+    assert net.mlp_weights['folded']['l0']['w'].dtype == jnp.float32
+
+
+def test_engine_bf16_storage_casts_and_serves(monkeypatch):
+    """With the policy forced on (backend spoofed to 'tpu' — the suite runs
+    on CPU), the engine casts the SERVED fold to bf16, keeps self.folded
+    f32 for downstream consumers (int8 packing, export), reports itself via
+    serve_storage, and still decodes sane outputs (CPU computes the bf16
+    weights in f32 matmuls, an upper bound on the TPU numerics delta)."""
+    import monoloco_tpu.network.engine as engine
+    monkeypatch.setattr(precision, '_RAW_STORAGE', 'bf16')
+    monkeypatch.setattr(engine.jax, 'default_backend', lambda: 'tpu')
+    net = _toy_net()
+    assert net.serve_storage == 'bf16'
+    assert net.mlp_weights['folded']['l0']['w'].dtype == jnp.bfloat16
+    assert net.folded['l0']['w'].dtype == jnp.float32
+
+    kps = np.random.RandomState(0).rand(5, 3, 17).astype(np.float32) * 300
+    kk = np.asarray([[718.3, 0, 600], [0, 718.3, 181], [0, 0, 1]], np.float32)
+    out = net.forward(kps, kk)
+    d_bf16 = np.asarray(out['xyzd'])[:, 3]
+    assert np.all(np.isfinite(d_bf16))
+
+    monkeypatch.setattr(precision, '_RAW_STORAGE', 'f32')
+    net_f32 = _toy_net()
+    d_f32 = np.asarray(net_f32.forward(kps, kk)['xyzd'])[:, 3]
+    # Storage rounding only: the decoded distances stay within a few percent
+    # even at random init (trained-model end metrics are the real gate).
+    assert np.allclose(d_bf16, d_f32, rtol=0.05, atol=0.05)
