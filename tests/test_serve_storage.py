@@ -77,3 +77,26 @@ def test_engine_bf16_storage_casts_and_serves(monkeypatch):
     # Storage rounding only: the decoded distances stay within a few percent
     # even at random init (trained-model end metrics are the real gate).
     assert np.allclose(d_bf16, d_f32, rtol=0.05, atol=0.05)
+
+
+def test_bf16_storage_composes_with_int8_packing(monkeypatch):
+    """MONOLOCO_TPU_PRECISION=int8 + MONOLOCO_TPU_SERVE_STORAGE=bf16: the
+    int8 stack must quantize from the F32 fold (not the bf16-rounded copy —
+    double rounding would change the packed weights), while sub-floor
+    dispatches serve the bf16-stored fold."""
+    import monoloco_tpu.network.engine as engine
+    from monoloco_tpu.ops import pack_folded_weights_w8
+    monkeypatch.setattr(precision, '_RAW_STORAGE', 'bf16')
+    monkeypatch.setattr(engine.jax, 'default_backend', lambda: 'tpu')
+    monkeypatch.setattr(engine, '_INT8', True)
+    params, bn = init_loco_params(jax.random.PRNGKey(0), 34, 9, 128, 3)
+    net = Loco((params, bn), mode='mono', net='monoloco_pp')
+    assert net.serve_storage == 'bf16'
+    assert net.mlp_weights['folded']['l0']['w'].dtype == jnp.bfloat16
+    assert 'packed_int8' in net.mlp_weights
+    # packed from the f32 fold: bit-identical to packing net.folded directly
+    expect = pack_folded_weights_w8(net.folded)
+    for got, want in zip(jax.tree_util.tree_leaves(
+            net.mlp_weights['packed_int8']),
+            jax.tree_util.tree_leaves(expect)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
