@@ -186,8 +186,10 @@ class Loco:
         # weights compute the same multiplies while streaming half the HBM
         # bytes per dispatch (measured +7.3-7.6% at 512-2048 rows,
         # tools/serve_storage_r5.jsonl). Policy in utils/precision.py:
-        # opt-in via MONOLOCO_TPU_SERVE_STORAGE=bf16 until the full-volume
-        # end-metric A/B certifies it as the auto default; f32-pinned
+        # 'auto' (default) serves the bf16-stored fold on TPU under
+        # default/bfloat16 matmul precision — certified by the full-volume
+        # end-metric A/B (mono −0.01% / stereo −0.05% ALE,
+        # tools/serve_storage_parity_r5.jsonl); f32-pinned or tensorfloat32
         # precisions and non-TPU backends always keep f32. self.folded stays
         # f32 — the int8 pack and direct consumers quantize/fold from it.
         self.serve_storage = 'f32'

@@ -45,14 +45,16 @@ INT8 = _RAW == 'int8'
 # where tunnel dispatch overhead dominates).
 #
 # MONOLOCO_TPU_SERVE_STORAGE:
-#   f32 (current default)  keep the f32-stored fold — the path every
-#         end-metric parity study so far certified.
+#   f32   keep the f32-stored fold.
 #   bf16  cast the served fold (weights + biases) to bfloat16 on TPU.
-#   auto  reserved: will mean "bf16 whenever the matmul precision is
-#         default/bfloat16 on TPU" once the full-volume end-metric A/B
-#         certifies it; resolves to f32 until then (the static-int8 kernel
-#         taught us decode-level deviation budgets don't certify a serving
-#         path — only ALE/ALP after the full eval pipeline does).
+#   auto (default)  bf16 whenever the matmul precision is default/bfloat16
+#         on TPU — CERTIFIED by the full-volume end-metric A/B
+#         (tools/serve_storage_eval_parity.py → serve_storage_parity_r5.jsonl:
+#         mono ALE delta −0.01%, stereo −0.05% at 2400 scenes / 500 epochs,
+#         the same gate the int8 kernel passed and the static kernel failed;
+#         decode-level budgets alone don't certify a serving path). Under
+#         tensorfloat32 the multiplies carry more mantissa than bf16, so a
+#         storage cast WOULD change results — auto keeps f32 there.
 # Never applies when PIN_F32 (float32/highest) — those spellings promise
 # full-precision multiplies — and never on non-TPU backends, where matmuls
 # are genuine f32 and a storage cast would change results.
@@ -71,7 +73,10 @@ def serve_storage_bf16(backend):
         return False
     if _RAW_STORAGE == 'bf16':
         return True
-    return False  # auto: f32 until the end-metric A/B certifies bf16
+    # auto: certified bf16 under default/bfloat16 matmul precision (round 5
+    # full-volume A/B, both modes); tensorfloat32 multiplies carry more
+    # mantissa than bf16 storage would preserve, so keep f32 there.
+    return MATMUL_PRECISION in ('default', 'bfloat16')
 
 
 def with_matmul_precision(fn):

@@ -4,7 +4,11 @@ Under TPU default matmul precision the MXU rounds operands to bf16 anyway;
 bf16-STORED weights compute the same multiplies while streaming half the HBM
 bytes per dispatch (+7.3-7.6% at 512-2048 rows, tools/serve_storage_r5.jsonl).
 The policy (utils/precision.py serve_storage_bf16) must:
- - stay f32 everywhere until the end-metric A/B certifies 'auto' -> bf16,
+ - resolve 'auto' to bf16 on TPU under default/bfloat16 matmul precision —
+   certified by the full-volume end-metric A/B (mono ALE delta -0.01%/+0.01%
+   seeds 1-2, stereo -0.05%; tools/serve_storage_parity_r5.jsonl),
+ - keep f32 under tensorfloat32 (its multiplies carry more mantissa than
+   bf16 storage would preserve),
  - never cast on non-TPU backends (their matmuls are genuine f32),
  - never cast under the f32-pinned precisions (they promise f32 multiplies),
  - honor the explicit f32/bf16 overrides (bf16 only on TPU).
@@ -20,17 +24,21 @@ from monoloco_tpu.network import Loco
 from monoloco_tpu.utils import precision
 
 
-@pytest.mark.parametrize('raw,pin,backend,expect', [
-    ('auto', False, 'tpu', False),   # auto stays f32 until certified
-    ('auto', False, 'cpu', False),
-    ('f32', False, 'tpu', False),
-    ('bf16', False, 'tpu', True),
-    ('bf16', False, 'cpu', False),   # non-TPU: storage cast would change
-    ('bf16', True, 'tpu', False),    # f32-pinned precision always wins
+@pytest.mark.parametrize('raw,pin,matmul,backend,expect', [
+    ('auto', False, 'default', 'tpu', True),    # certified r5 (A/B above)
+    ('auto', False, 'bfloat16', 'tpu', True),
+    ('auto', False, 'tensorfloat32', 'tpu', False),  # tf32 > bf16 mantissa
+    ('auto', False, 'default', 'cpu', False),
+    ('f32', False, 'default', 'tpu', False),
+    ('bf16', False, 'default', 'tpu', True),
+    ('bf16', False, 'default', 'cpu', False),  # non-TPU: cast changes results
+    ('bf16', True, 'float32', 'tpu', False),   # f32-pinned always wins
+    ('auto', True, 'float32', 'tpu', False),
 ])
-def test_policy_resolution(monkeypatch, raw, pin, backend, expect):
+def test_policy_resolution(monkeypatch, raw, pin, matmul, backend, expect):
     monkeypatch.setattr(precision, '_RAW_STORAGE', raw)
     monkeypatch.setattr(precision, 'PIN_F32', pin)
+    monkeypatch.setattr(precision, 'MATMUL_PRECISION', matmul)
     assert precision.serve_storage_bf16(backend) is expect
 
 
@@ -45,10 +53,24 @@ def _toy_net():
     return Loco((params, bn), mode='mono', linear_size=64, n_stage=2)
 
 
-def test_engine_default_keeps_f32_storage():
+def test_engine_default_keeps_f32_storage_off_tpu():
+    """The suite runs on CPU: auto must NOT cast there (genuine f32 matmuls),
+    so the engine serves the f32-stored fold."""
     net = _toy_net()
     assert net.serve_storage == 'f32'
     assert net.mlp_weights['folded']['l0']['w'].dtype == jnp.float32
+
+
+def test_engine_auto_casts_on_tpu(monkeypatch):
+    """auto (the default) serves the bf16-stored fold on TPU under default
+    matmul precision — the round-5 certified configuration."""
+    import monoloco_tpu.network.engine as engine
+    monkeypatch.setattr(precision, '_RAW_STORAGE', 'auto')
+    monkeypatch.setattr(engine.jax, 'default_backend', lambda: 'tpu')
+    net = _toy_net()
+    assert net.serve_storage == 'bf16'
+    assert net.mlp_weights['folded']['l0']['w'].dtype == jnp.bfloat16
+    assert net.folded['l0']['w'].dtype == jnp.float32
 
 
 def test_engine_bf16_storage_casts_and_serves(monkeypatch):
